@@ -1,0 +1,125 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+pages → ① codes (Arrow-vectorized codegen) → ② verified dup pairs
+(exact ∪ MinHash-LSH ∪ SimHash, native verification) → ③ clusters
+(large-star/small-star CC) → ④ canonical pick (keep oldest warc_ts).
+
+Each stage is materialized through the StageStore seam (parquet snapshot +
+manifest); a rerun with the same config resumes from the last completed
+stage (kill-after-stage produces byte-identical final clusters — T4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iscc_specs_spark.operators.codegen import compute_codes
+from iscc_specs_spark.operators.cluster import assign_clusters
+from iscc_specs_spark.operators import lsh
+from iscc_specs_spark.sources.storage import StageStore, config_hash
+
+
+@dataclass
+class DedupConfig:
+    tracks: tuple[str, ...] = ("text", "data")
+    bands: int = lsh.DEFAULT_BANDS
+    rows: int = lsh.DEFAULT_ROWS
+    bucket_cap: int = 64
+    cid_max: int = lsh.CID_T_MAX_HAMMING
+    sim_max: int = lsh.SIMHASH_MAX_HAMMING
+    lineage: bool = True
+
+
+def lsh_metrics(band_table: DataFrame, bucket_cap: int) -> dict:
+    """Bucket-size distribution — the observable record of skew mitigation."""
+    row = (
+        band_table.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
+            F.sum(F.when(F.col("n") > bucket_cap, F.col("n")).otherwise(0)).alias(
+                "rows_in_capped"
+            ),
+        )
+        .collect()[0]
+    )
+    return {k: int(row[k] or 0) for k in row.asDict()}
+
+
+def run_dedup(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cfg: DedupConfig | None = None,
+    collect_lsh_metrics: bool = True,
+) -> dict:
+    """Returns {"clusters": DataFrame, "store": StageStore, ...stage dfs}."""
+    cfg = cfg or DedupConfig()
+    store = StageStore(out_dir, config_hash(asdict(cfg)), lineage=cfg.lineage)
+
+    # ① codes
+    if store.has("codes"):
+        codes = store.read(spark, "codes")
+    else:
+        codes = store.write(compute_codes(pages, cfg.tracks), "codes")
+
+    # ② dup pairs
+    if store.has("dup_pairs"):
+        pairs = store.read(spark, "dup_pairs")
+    else:
+        if "tophash" not in codes.columns:
+            # text-only run: no Instance-ID — disable the exact stage by
+            # making every "group" the url itself
+            codes = codes.withColumn("tophash", F.col("url"))
+        reps = lsh.exact_rep_table(codes)
+        slim = lsh.rep_codes(codes, reps)
+        band_table = lsh.minhash_bands(slim, cfg.bands, cfg.rows).union(
+            lsh.simhash_bands(slim)
+        )
+        metrics = (
+            lsh_metrics(band_table, cfg.bucket_cap) if collect_lsh_metrics else {}
+        )
+        cand = lsh.candidate_pairs(band_table, cfg.bucket_cap)
+        verified = lsh.verify_pairs(cand, slim, cfg.cid_max, cfg.sim_max)
+        exact = lsh.exact_pairs(codes, reps).select(
+            "url_a", "url_b", "src",
+            F.lit(0).alias("cid_hamming"), F.lit(0).alias("simhash_hamming"),
+            F.lit(1.0).alias("jaccard_est"), F.lit(True).alias("exact_dup"),
+        )
+        pairs = store.write(verified.unionByName(exact), "dup_pairs", metrics)
+
+    # ③ clusters (+ singleton attach)
+    if store.has("clusters"):
+        clusters = store.read(spark, "clusters")
+    else:
+        clusters = store.write(
+            assign_clusters(codes.select("url"), pairs), "clusters"
+        )
+
+    # ④ canonical representative per cluster: keep oldest (warc_ts, url)
+    if store.has("canonical"):
+        canonical = store.read(spark, "canonical")
+    else:
+        w = Window.partitionBy("cluster_id").orderBy("warc_ts", "url")
+        canonical = store.write(
+            codes.select("url", "warc_ts")
+            .join(clusters, "url")
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                "url", "cluster_id", (F.col("rank") == 1).alias("is_canonical")
+            ),
+            "canonical",
+        )
+
+    return {
+        "codes": codes,
+        "dup_pairs": pairs,
+        "clusters": clusters,
+        "canonical": canonical,
+        "store": store,
+    }

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+local[N] in this sandbox; on a real cluster the same confs apply (AQE,
+Arrow batching, shuffle partition sizing).  PYTHONPATH is propagated to
+Python workers so pandas UDFs can import the kernel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_spark(
+    app: str = "iscc_specs_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    os.environ["PYTHONPATH"] = (
+        REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html BINARY columns: keep Arrow batches bounded (~1k rows * few KB)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

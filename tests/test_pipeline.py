@@ -1,0 +1,141 @@
+"""T3 (recall vs brute-force oracle) + T4 (resume) end-to-end tests."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from iscc_specs_spark.plans.dedup import DedupConfig, run_dedup
+from iscc_specs_spark.sources.pages import generate_pages
+
+N_DOCS = 2500
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def popcount_u64(v: np.ndarray) -> np.ndarray:
+    v = v - ((v >> np.uint64(1)) & _M1)
+    v = (v & _M2) + ((v >> np.uint64(2)) & _M2)
+    v = (v + (v >> np.uint64(4))) & _M4
+    return (v * _H01) >> np.uint64(56)
+
+
+def _oracle_pairs(pdf: pd.DataFrame, cid_max=10, sim_max=3):
+    """Brute-force the verification predicate over all pairs (the reference
+    semantics: pairwise distance() — /root/reference/src/iscc/iscc.py:426)."""
+    cid = pdf["cid_body"].to_numpy().astype(np.int64).view(np.uint64)
+    sim = pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    top = pdf["tophash"].to_numpy()
+    n = len(pdf)
+    pairs = set()
+    old = np.seterr(over="ignore")
+    try:
+        for i in range(n - 1):
+            hc = popcount_u64(cid[i] ^ cid[i + 1 :])
+            hs = popcount_u64(sim[i] ^ sim[i + 1 :])
+            hit = (hc <= cid_max) | (hs <= sim_max) | (top[i + 1 :] == top[i])
+            for j in np.nonzero(hit)[0]:
+                pairs.add((i, int(i + 1 + j)))
+    finally:
+        np.seterr(**old)
+    return pairs
+
+
+def _uf(n, pairs):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [find(x) for x in range(n)]
+
+
+def _induced_pairs(labels):
+    by = {}
+    for i, l in enumerate(labels):
+        by.setdefault(l, []).append(i)
+    out = set()
+    for members in by.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                out.add((members[i], members[j]))
+    return out
+
+
+def test_recall_vs_bruteforce_oracle(spark, tmp_path):
+    pages = generate_pages(spark, N_DOCS, partitions=8)
+    result = run_dedup(spark, pages, str(tmp_path / "run"), DedupConfig())
+
+    codes_pdf = (
+        result["codes"]
+        .select("url", "cid_body", "simhash", "tophash")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    idx = {u: i for i, u in enumerate(codes_pdf["url"])}
+    oracle = _oracle_pairs(codes_pdf)
+    oracle_labels = _uf(len(codes_pdf), oracle)
+    oracle_cluster_pairs = _induced_pairs(oracle_labels)
+
+    got = result["clusters"].toPandas()
+    got_labels_by_url = dict(zip(got["url"], got["cluster_id"]))
+    got_labels = [got_labels_by_url[u] for u in codes_pdf["url"]]
+    got_cluster_pairs = _induced_pairs(
+        [f"g{l}" for l in got_labels]  # labels are urls; namespace them
+    )
+
+    assert len(oracle_cluster_pairs) > 100  # planted structure present
+    found = len(oracle_cluster_pairs & got_cluster_pairs)
+    recall = found / len(oracle_cluster_pairs)
+    precision = found / max(len(got_cluster_pairs), 1)
+    assert recall >= 0.99, f"recall {recall:.4f}"
+    assert precision >= 0.99, f"precision {precision:.4f}"
+
+
+def test_resume_reproduces_clusters_and_skips_stages(spark, tmp_path):
+    out = str(tmp_path / "resume")
+    pages = generate_pages(spark, 400, partitions=4)
+    r1 = run_dedup(spark, pages, out, DedupConfig())
+    c1 = sorted(map(tuple, r1["clusters"].collect()))
+    codes_manifest_1 = r1["store"].manifest("codes")
+
+    # simulate dying after stage ② completed: clusters + canonical lost
+    for stage in ("clusters", "canonical"):
+        os.remove(os.path.join(out, f"{stage}.manifest.json"))
+
+    r2 = run_dedup(spark, pages, out, DedupConfig())
+    c2 = sorted(map(tuple, r2["clusters"].collect()))
+    assert c1 == c2
+    # codes stage was NOT recomputed (same snapshot record)
+    assert r2["store"].manifest("codes") == codes_manifest_1
+
+    # config change invalidates resume
+    r3 = run_dedup(spark, pages, out, DedupConfig(bucket_cap=32))
+    assert r3["store"].manifest("codes")["config_hash"] != codes_manifest_1["config_hash"]
+
+
+def test_lineage_and_metrics_recorded(spark, tmp_path):
+    out = str(tmp_path / "metrics")
+    pages = generate_pages(spark, 300, partitions=4)
+    r = run_dedup(spark, pages, out, DedupConfig())
+    man = r["store"].manifest("dup_pairs")
+    assert man["rows"] > 0 and man["wall_ms"] >= 0
+    assert man["metrics"]["n_buckets"] > 0
+    assert "max_bucket" in man["metrics"] and "capped_buckets" in man["metrics"]
+    assert len(r["store"].manifest("codes")["partitions"]) >= 1
