@@ -1,0 +1,146 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
+
+  * ``brute_force_topk``  — exact cosine top-k: broadcast the (small) query
+    set against the corpus; one narrow map + one shuffle for the per-query
+    top-k window. The correctness baseline and the verifier.
+  * ``rhp_lsh_topk``      — scale path: random-hyperplane (SimHash for
+    vectors, Charikar 2002 — the same sketch family the reference uses for
+    text at /root/reference/src/iscc/iscc.py:236-257) bucketing. Corpus is
+    hashed once to a ``nbits``-bit signature; queries probe their own bucket
+    (plus multi-probe single-bit flips), exact cosine re-rank inside the
+    probed buckets only.
+
+At 100 TB the brute-force path is a full corpus scan per query batch (fine
+for few queries — it is one broadcast join, no shuffle of the corpus); the
+LSH path turns that into a bucket-pruned scan: the corpus signature table is
+bucketed/partitioned by (plane_set, bucket) so a query batch touches only
+matching partitions.
+
+Hyperplanes are deterministic (seeded NumPy, generated at plan time on the
+driver) — no nondeterminism in the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iscc_specs_spark.operators.dedup_variants import cosine_expr
+
+
+def _as_double(df: DataFrame, out: str = "v") -> DataFrame:
+    return df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias(out)
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (vec_id, embedding) — broadcast side. Returns
+    (query_id, neighbor_id, cosine, rank) with rank 1..k, ties broken by
+    neighbor_id; the query vector itself is excluded.
+    """
+    corpus = _as_double(emb, "vc").withColumnRenamed("vec_id", "neighbor_id")
+    q = _as_double(queries, "vq").withColumnRenamed("vec_id", "query_id")
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("vq"), F.col("vc")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, nbits: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, seeded)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim).astype("float64").tolist()
+
+
+def rhp_signature(vec_col, planes: list[list[float]]):
+    """Pack sign(v·h_i) bits into one LONG — native fold, no UDF."""
+    sig = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in h]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def rhp_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 12,
+    ntables: int = 8,
+    seed: int = 7,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k (same output schema as brute force).
+
+    Standard multi-table random-hyperplane LSH: ``ntables`` independent
+    ``nbits``-bit signatures per vector; a corpus vector is a candidate for
+    a query iff they share a bucket in ≥1 table (plus single-bit-flip
+    multiprobe buckets on the query side). Exact cosine re-rank within
+    candidates only. Recall knobs: P(candidate) = 1 − (1 − p^nbits)^ntables
+    with p = 1 − θ/π; defaults give >0.99 for cosine ≥ 0.9 pairs.
+
+    Scale notes: the corpus signature table is computed once (narrow) and
+    at 100 TB would be written bucketed by (table_id, bucket) so each query
+    batch prunes to matching buckets; the per-table explode multiplies rows
+    by ntables but each row is (id, bucket) — tiny vs the embedding column,
+    which never shuffles (re-rank joins fetch it via the bucket join).
+    """
+    dim = len(emb.select("embedding").first()[0])
+    corpus = _as_double(emb, "vc").withColumnRenamed("vec_id", "neighbor_id")
+    q = _as_double(queries, "vq").withColumnRenamed("vec_id", "query_id")
+    c_buckets, q_probes = [], []
+    for t in range(ntables):
+        planes = hyperplanes(dim, nbits, seed + 1000 * t)
+        csig = rhp_signature(F.col("vc"), planes)
+        qsig = rhp_signature(F.col("vq"), planes)
+        c_buckets.append(F.struct(F.lit(t).alias("t"), csig.alias("h")))
+        probes = [qsig]
+        if multiprobe_bits >= 1:
+            probes += [qsig.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+        q_probes += [F.struct(F.lit(t).alias("t"), p.alias("h")) for p in probes]
+    corpus = corpus.withColumn("bucket", F.explode(F.array(*c_buckets)))
+    q = q.withColumn("bucket", F.explode(F.array(*q_probes)))
+    cand = corpus.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("vq"), F.col("vc")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

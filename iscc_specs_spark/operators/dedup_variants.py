@@ -1,0 +1,164 @@
+"""Deduplication variants for training-data curation.
+
+Complements the ISCC MinHash/SimHash LSH pipeline (operators/lsh.py) with
+the other standard dedup families, each as a composable DataFrame operator
+over the ``documents`` / ``embeddings`` tables:
+
+  * exact dedup           — hash-groupBy on a normalized content fingerprint
+  * n-gram Jaccard        — word-shingle explode + shuffle join + exact
+                            Jaccard (the verifier LSH approximates)
+  * embedding near-dup    — cosine similarity over array<float> embeddings
+
+All native Spark SQL (no Python UDFs). Exact Jaccard is intentionally the
+*verification* path: at 100 TB you run MinHash-LSH (operators/lsh.py) to get
+candidates and this operator only on the candidate set; here it is also
+exposed stand-alone so the DuckDB oracle can check it end-to-end.
+
+Scale notes: ``exact_dups`` is one shuffle on the fingerprint (map-side
+partial agg). ``ngram_jaccard_pairs`` shuffles on shingle — hot shingles are
+capped (df-style stopword cap) exactly like LSH bucket capping, which bounds
+the self-join at O(cap²) per shingle. ``embedding_neardup_pairs`` is the
+brute-force verifier — quadratic, gate it behind candidates at scale (see
+operators/ann.py for the LSH-bucketed scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_fp(col: str = "text"):
+    """md5 of casefolded, whitespace-collapsed text (oracle-parity hash)."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), "\\s+", " ")
+    )
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per document with its group.
+
+    Columns: doc_id, content_fp, group_size, rep_doc_id (min doc_id in the
+    group), is_dup (member of a >1 group that is not the representative).
+    One shuffle on content_fp; map-side combine does the heavy lifting.
+    """
+    with_fp = docs.select("doc_id", normalized_fp().alias("content_fp"))
+    groups = with_fp.groupBy("content_fp").agg(
+        F.count("*").alias("group_size"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )
+    return (
+        with_fp.join(groups, "content_fp")
+        .select(
+            "doc_id",
+            "content_fp",
+            "group_size",
+            "rep_doc_id",
+            ((F.col("group_size") > 1) & (F.col("doc_id") != F.col("rep_doc_id"))).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id, shingle — distinct word n-grams (padded with the whole text
+    when shorter than n words so every doc has ≥1 shingle)."""
+    trimmed = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, "\\s+")
+    )
+    cnt = F.size(toks)
+    shingles = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+
+    explode distinct shingles → self-join on shingle → |A∩B| per pair →
+    jaccard = inter / (|A| + |B| − inter). ``shingle_df_cap`` drops shingles
+    whose document frequency exceeds the cap (skew guard: a stopword shingle
+    shared by 10⁶ docs would create 10¹² join rows; capped shingles cannot
+    decide a ≥0.5-Jaccard pair on their own and the survivors still vote).
+    """
+    sh = word_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if shingle_df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > shingle_df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def cosine_expr(a, b):
+    """Native cosine similarity over two array<double> columns.
+
+    Left-to-right sequential folds (deterministic float order — matches the
+    DuckDB oracle's list_* fold order).
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Brute-force cosine near-dup pairs over embeddings(vec_id, embedding).
+
+    Quadratic verifier — at scale run it only on ann.py candidate buckets.
+    """
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

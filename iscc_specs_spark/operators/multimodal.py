@@ -1,0 +1,142 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Assets are opaque ``binary`` payloads with typed metadata — the Spark-side
+contract (schema, partitioning, Arrow batch shape, UDF signatures) is real
+and tested; the codec step itself is stubbed because no image/audio
+libraries exist in this container.
+
+Design (mirrors the text tracks in operators/codegen.py): one
+``mapInPandas`` pass per asset batch, Arrow-transported, producing
+fixed-width feature columns. The *deterministic fake* decode path computes
+features that only depend on the raw bytes (length, sha256 fingerprint,
+256-bin byte histogram, coarse 8×8 "thumbnail" of byte energy) so tests and
+benchmarks exercise the full distributed plumbing; swapping in a real codec
+is a one-function change (``decode_image``).
+
+Reference parity: the reference's image track (content_id_image,
+/root/reference/src/iscc/iscc.py:81-96) is descoped per SURVEY.md §7.4 —
+this module carries the plumbing it would plug into.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, media_type string, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, kind string, n_bytes long, sha256 string, "
+    "byte_entropy double, histogram array<int>, thumb array<double>"
+)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an encoded image to a grayscale pixel matrix.
+
+    STUB: no codec libraries (PIL/libjpeg) are available in this container.
+    The real implementation returns a 2-D uint8 array; callers must treat
+    the payload as opaque until then.
+    """
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "environment; use fake_features() for plumbing tests"
+    )
+
+
+def sample_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
+    """Sample video frames every ``every_ms``. STUB (no video codec)."""
+    raise NotImplementedError("video decoding unavailable in this environment")
+
+
+def fake_features(payload: bytes) -> dict:
+    """Deterministic byte-level features (real computation, no codec).
+
+    Used as the stand-in 'decode + feature extract' so the distributed
+    pipeline (schema, batching, partitioning) is fully exercised.
+    """
+    buf = np.frombuffer(payload or b"", dtype=np.uint8)
+    hist = np.bincount(buf, minlength=256) if buf.size else np.zeros(256, int)
+    p = hist / max(buf.size, 1)
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum()) if nz.size else 0.0
+    # 8x8 "thumbnail": mean byte value over 64 equal slices
+    if buf.size:
+        cells = np.array_split(buf.astype(np.float64), 64)
+        thumb = [float(c.mean()) if c.size else 0.0 for c in cells]
+    else:
+        thumb = [0.0] * 64
+    return {
+        "n_bytes": int(buf.size),
+        "sha256": hashlib.sha256(payload or b"").hexdigest(),
+        "byte_entropy": entropy,
+        "histogram": hist.astype("int32").tolist(),
+        "thumb": thumb,
+    }
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """assets → per-asset feature rows via Arrow-batched mapInPandas.
+
+    Narrow (no shuffle); at scale the only knobs are Arrow batch size
+    (bounded memory with large payloads) and input split size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "sha256": [f["sha256"] for f in feats],
+                    "byte_entropy": [f["byte_entropy"] for f in feats],
+                    "histogram": [f["histogram"] for f in feats],
+                    "thumb": [f["thumb"] for f in feats],
+                }
+            )
+
+    cols = [c for c in ("asset_id", "kind", "payload") if c in assets.columns]
+    return assets.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic fake asset table for tests/benchmarks."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype(int)
+            kinds = [("image", "audio", "video")[i % 3] for i in ids]
+            payloads = [
+                bytes(
+                    np.frombuffer(
+                        hashlib.sha256(f"asset-{i}".encode()).digest() * (8 + i % 5),
+                        dtype=np.uint8,
+                    )
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": kinds,
+                    "payload": payloads,
+                    "media_type": [f"application/x-fake-{k}" for k in kinds],
+                    "width": [0] * len(ids),
+                    "height": [0] * len(ids),
+                    "duration_ms": [0] * len(ids),
+                }
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )

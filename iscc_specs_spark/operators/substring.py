@@ -1,0 +1,115 @@
+"""Substring dedup: exact long-match detection across documents.
+
+North-rule stage (BASELINE.json: "suffix-array substring-dedup stage for
+exact long-match removal"). Spark-first design instead of a monolithic
+suffix array:
+
+  1. **Anchor selection** — every document emits rolling k-char window
+     hashes at winnowing-sampled positions (keep a window iff
+     ``xxhash64(window) % sample == 0``): a deterministic ~1/sample subset
+     whose selection is content-defined, so two documents sharing a long
+     run select the *same* anchors inside it regardless of offset. Native
+     Spark (transform/sequence/substring/xxhash64) — no UDF, no shuffle.
+  2. **Inverted index** — shuffle on anchor hash; buckets over a df-cap are
+     dropped with metrics (boilerplate guard, same skew policy as LSH
+     bucket capping in operators/lsh.py).
+  3. **Pair + span merge** — documents sharing ≥ ``min_anchors`` anchors
+     become candidate pairs; consecutive shared anchors whose position
+     deltas agree merge into match spans; spans ≥ ``min_len`` are reported.
+
+This is the distributed equivalent of suffix-array long-match mining: a
+true suffix array finds matches ≥ L exactly; content-defined k-gram
+anchors at sampling s find any match of length ≥ L with probability
+≥ 1 − (1−1/s)^(L−k+1) — with defaults (k=24, s=4, min_len=64) that is
+> 0.9999. Each anchor is pinned by 64-bit window-hash equality; a span
+between co-linear anchors (identical position delta) is reported as a
+lower-bound match length. Scope control at 100 TB: feed only candidate
+clusters into ``docs`` rather than the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 24          # anchor window chars
+DEFAULT_SAMPLE = 4      # keep ~1/4 of windows (content-defined)
+DEFAULT_MIN_LEN = 64    # report matches at least this long
+DEFAULT_DF_CAP = 64     # drop anchors appearing in more docs than this
+
+
+def anchor_table(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    sample: int = DEFAULT_SAMPLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, anchor_hash) — winnowed k-gram anchors, all native SQL."""
+    norm = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(norm)
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    anchors = F.transform(
+        positions,
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.xxhash64(F.substring(norm, p, k)).alias("anchor_hash"),
+        ),
+    )
+    kept = F.filter(
+        anchors, lambda a: F.pmod(a["anchor_hash"], F.lit(sample)) == 0
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(kept).alias("a")
+    ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.anchor_hash").alias("anchor_hash"))
+
+
+def substring_matches(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    sample: int = DEFAULT_SAMPLE,
+    min_len: int = DEFAULT_MIN_LEN,
+    df_cap: int = DEFAULT_DF_CAP,
+    min_anchors: int = 2,
+) -> DataFrame:
+    """Cross-document exact long-match spans.
+
+    Returns (doc_a, doc_b, a_start, b_start, match_len_lb) where
+    match_len_lb is the *verified lower bound* on the shared-substring
+    length (span between first and last co-linear shared anchors + k).
+    """
+    anchors = anchor_table(docs, k, sample)
+    # skew guard: drop anchors present in too many docs (boilerplate)
+    df_counts = anchors.groupBy("anchor_hash").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    anchors = anchors.join(
+        df_counts.where(F.col("df") <= df_cap).select("anchor_hash"), "anchor_hash"
+    )
+    a = anchors.select(
+        "anchor_hash", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = anchors.select(
+        "anchor_hash", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    shared = a.join(b, "anchor_hash").where(F.col("doc_a") < F.col("doc_b"))
+    # co-linear anchors share the same offset delta (pos_a - pos_b): group by
+    # (pair, delta) and take the span between first and last shared anchor.
+    runs = (
+        shared.groupBy("doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("delta"))
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("match_len_lb"),
+        )
+        .where(
+            (F.col("n_anchors") >= min_anchors)
+            & (F.col("match_len_lb") >= min_len)
+        )
+    )
+    return runs.select(
+        "doc_a", "doc_b", "a_start", "b_start", "n_anchors", "match_len_lb"
+    )

@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import pytest
+
+from iscc_specs_spark.operators import dedup_variants as D
+
+
+def test_exact_dups(spark):
+    rows = [
+        (0, "Hello   World"),
+        (1, "hello world"),      # same after normalization
+        (2, "HELLO  WORLD "),    # same after normalization
+        (3, "something else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in D.exact_dups(df).collect()}
+    assert r[0]["group_size"] == 3 and r[0]["rep_doc_id"] == 0
+    assert not r[0]["is_dup"] and r[1]["is_dup"] and r[2]["is_dup"]
+    assert r[3]["group_size"] == 1 and not r[3]["is_dup"]
+
+
+def test_ngram_jaccard(spark):
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, base),
+        (1, base),                      # identical → jaccard 1.0
+        (2, base + " extra words here"),  # high overlap
+        (3, " ".join(f"z{i}" for i in range(20))),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (x["doc_a"], x["doc_b"]): x["jaccard"]
+        for x in D.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_df_cap(spark):
+    # hot (boilerplate) shingles above the df cap are dropped: the 10-doc
+    # boilerplate clique vanishes, the rare identical pair survives
+    uniq = " ".join(f"w{i}" for i in range(20))
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [(0, uniq), (1, uniq)] + [(i, boiler) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.ngram_jaccard_pairs(df, n=3, threshold=0.9, shingle_df_cap=5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+    assert got[0]["jaccard"] == 1.0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # ≈ vec 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(x["vec_a"], x["vec_b"]): x["cosine"]
+           for x in D.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert (0, 2) not in got and (1, 2) not in got

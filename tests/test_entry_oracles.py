@@ -1,0 +1,55 @@
+"""Driver-contract regression: every oracled queries() entry must match its
+DuckDB twin exactly (columns, row count, values) at sf0.001 — a fast local
+replica of the driver's CORRECTNESS gate at sf0.01."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    fix = lambda v: "NaN" if isinstance(v, float) and math.isnan(v) else v
+    return sorted(cols), sorted(
+        [tuple(fix(r[i]) for i in order) for r in rows], key=repr
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_oracle_parity(spark, ddb, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    sc, sv = _canon([tuple(r) for r in sdf.collect()], sdf.columns)
+    orel = ddb.sql(entrymod.oracle_sql()[name])
+    oc, ov = _canon(orel.fetchall(), list(orel.columns))
+    assert sc == oc
+    assert len(sv) == len(ov)
+    assert sv == ov
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    rowsonly = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    assert rowsonly  # kernel-backed ops are covered by conformance tests

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import pytest
+
+from iscc_specs_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog, and it is fast!", "en"),
+        (1, "", "und"),
+        (2, None, "und"),
+        (3, "der die das und ist ein zu den mit von", "de"),
+        (4, "!!! ??? ...", "und"),
+        (5, "  spaced    out\ttext  ", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _by_id(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+def test_token_counts(docs):
+    r = _by_id(T.token_counts(docs))
+    assert r[0]["n_tokens"] == 13
+    assert r[1]["n_tokens"] == 0 and r[1]["n_chars"] == 0
+    assert r[2]["n_tokens"] == 0
+    assert r[5]["n_tokens"] == 3
+    # BPE-ish: words + punctuation symbols counted separately
+    assert r[4]["n_bpe_tokens"] == 9
+    assert r[0]["n_bpe_tokens"] == 15  # 13 words + ',' + '!'
+
+
+def test_quality_scores(docs):
+    r = _by_id(T.quality_scores(docs))
+    assert r[1]["quality_score"] == pytest.approx(0.3)  # empty: only punct term
+    assert r[0]["quality_score"] > 0.8  # long, clean, stopword-rich
+    assert 0.0 <= r[4]["quality_score"] <= 1.0
+    assert r[4]["punct_ratio"] > 0.5
+
+
+def test_language_id(docs):
+    r = _by_id(T.language_id(docs))
+    assert r[0]["pred_lang"] == "en"
+    assert r[3]["pred_lang"] == "de"
+    assert r[1]["pred_lang"] == "und"
+    assert r[4]["pred_lang"] == "und"
+
+
+def test_fingerprints_ws_invariance(spark):
+    rows = [(0, "Hello   World  Again"), (1, "hello world again"), (2, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = _by_id(T.fingerprints(df))
+    assert r[0]["content_fp"] == r[1]["content_fp"]
+    assert r[0]["content_fp"] != r[2]["content_fp"]
+
+
+def test_min_shingle_fp_shared_run(spark):
+    shared = " ".join(f"w{i}" for i in range(30))
+    rows = [(0, "prefix " + shared), (1, shared + " suffix zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = _by_id(T.fingerprints(df, shingle_words=5))
+    # both docs contain all shingles of the shared 30-word run; the global
+    # min shingle hash is very likely inside it (26 shared vs ~2 unique)
+    assert r[0]["min_shingle_fp"] == r[1]["min_shingle_fp"]
