@@ -36,11 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """sf0.001 documents → pages → ISCC codes + dup pairs + cluster ids."""
     from iscc_specs_spark.operators import lsh
     from iscc_specs_spark.operators.cluster import assign_clusters
-    from iscc_specs_spark.operators.codegen import compute_codes
-    from iscc_specs_spark.sources.pages import pages_from_documents
 
-    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
-    codes = compute_codes(pages, tracks=("text", "data"))
+    codes = _codes(spark, "/root/testdata/sf0.001")
     pairs = lsh.dup_pairs(codes)
     clusters = assign_clusters(codes.select("url"), pairs)
     return (
@@ -64,12 +61,21 @@ def _q_iscc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iscc_specs_spark.operators import lsh
+def _codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """codes table, materialized once (dup_pairs/clustering reuse it several
+    times — without the checkpoint every consumer re-runs the codegen UDFs)."""
     from iscc_specs_spark.operators.codegen import compute_codes
     from iscc_specs_spark.sources.pages import pages_from_documents
 
-    codes = compute_codes(pages_from_documents(spark, sf_dir), ("text", "data"))
+    return compute_codes(
+        pages_from_documents(spark, sf_dir), ("text", "data")
+    ).localCheckpoint(eager=True)
+
+
+def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators import lsh
+
+    codes = _codes(spark, sf_dir)
     return lsh.dup_pairs(codes).select(
         "url_a", "url_b", "src", "cid_hamming", "simhash_hamming", "exact_dup"
     )
@@ -78,10 +84,8 @@ def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators import lsh
     from iscc_specs_spark.operators.cluster import assign_clusters
-    from iscc_specs_spark.operators.codegen import compute_codes
-    from iscc_specs_spark.sources.pages import pages_from_documents
 
-    codes = compute_codes(pages_from_documents(spark, sf_dir), ("text", "data"))
+    codes = _codes(spark, sf_dir)
     clusters = assign_clusters(codes.select("url"), lsh.dup_pairs(codes))
     return clusters.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size")
@@ -90,10 +94,8 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators import lsh
-    from iscc_specs_spark.operators.codegen import compute_codes
-    from iscc_specs_spark.sources.pages import pages_from_documents
 
-    codes = compute_codes(pages_from_documents(spark, sf_dir), ("text", "data"))
+    codes = _codes(spark, sf_dir)
     reps = lsh.exact_rep_table(codes)
     slim = lsh.rep_codes(codes, reps)
     bands = lsh.minhash_bands(slim).union(lsh.simhash_bands(slim))

@@ -32,12 +32,14 @@ from iscc_specs_spark.kernel.constants import (
     WINDOW_SIZE_CID_T,
     WINDOW_SIZE_MID,
 )
-from iscc_specs_spark.kernel.sketches import _MERSENNE_61, _MAX32, _PERM_A, _PERM_B
+from iscc_specs_spark.kernel.sketches import perm_hash
 from iscc_specs_spark.kernel.textnorm import text_normalize, text_trim
 from iscc_specs_spark.kernel.xxhashes import xxh32_fixed, xxh64, xxh64_fixed
 
-# cap transient (n_shingles × 64) uint64 matrices at ~128 MB
-_SHINGLE_BUDGET = 250_000
+# cap transient (n_shingles × 64) uint64 matrices: 24k shingles → ~12 MB,
+# small enough that the in-place perm-hash passes stay cache-resident even
+# with 32 concurrent workers per host (bandwidth, not ALU, is the budget)
+_SHINGLE_BUDGET = 24_000
 
 
 def _pack_u64_rows(bits: np.ndarray) -> np.ndarray:
@@ -54,13 +56,12 @@ def _segments_minhash_simhash(mat: np.ndarray, starts: np.ndarray, lens: np.ndar
     old = np.seterr(over="ignore")
     try:
         feats = xxh32_fixed(mat).astype(np.uint64)
-        h = (feats[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE_61
-        h &= _MAX32
+        h = perm_hash(feats[:, None])
         mh = np.minimum.reduceat(h, starts, axis=0)
 
         digs = xxh64_fixed(mat)
         bits = np.unpackbits(digs.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
-        counts = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        counts = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
         sim_bits = (2 * counts >= lens[:, None]).astype(np.uint8)
         return mh, _pack_u64_rows(sim_bits)
     finally:
@@ -177,7 +178,7 @@ def meta_batch(titles: Sequence[str | None], extras: Sequence[str] | None = None
         finally:
             np.seterr(**old)
         bits = np.unpackbits(digs.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
-        counts = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        counts = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
         sims = _pack_u64_rows((2 * counts >= lens[:, None]).astype(np.uint8))
         for g, i in enumerate(fast):
             mid_body[i] = sims[g].astype(np.int64)

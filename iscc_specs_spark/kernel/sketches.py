@@ -37,6 +37,27 @@ def similarity_hash(digests: Sequence[bytes]) -> bytes:
     return np.packbits(out_bits).tobytes()
 
 
+def mersenne61_mod(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 − 1) for uint64 arrays. NumPy's scalar-divisor mod is a
+    single memory pass — on big matrices the op is bandwidth-bound, so one
+    pass beats any multi-pass shift/add folding."""
+    return x % _MERSENNE_61
+
+
+def perm_hash(features_col: np.ndarray, n: int = 64) -> np.ndarray:
+    """(K,1)-broadcast permutation hash matrix: ((a*f+b) mod 2^64)
+    mod (2^61−1) & MAX32, shared by minhash_np and the batch hot path.
+
+    Exactly one (K,n) allocation; every subsequent op is in-place — the
+    kernel runs 32× concurrently per host, so DRAM traffic (not ALU) is
+    the budget."""
+    h = features_col * _PERM_A[None, :n]
+    h += _PERM_B[None, :n]
+    np.mod(h, _MERSENNE_61, out=h)
+    h &= _MAX32
+    return h
+
+
 def minhash_np(features: np.ndarray, n: int = 64) -> np.ndarray:
     """MinHash signature of a (K,) uint64 feature array → (n,) uint64.
 
@@ -49,8 +70,7 @@ def minhash_np(features: np.ndarray, n: int = 64) -> np.ndarray:
     f = features.astype(np.uint64, copy=False)
     old = np.seterr(over="ignore")
     try:
-        h = (f[:, None] * _PERM_A[None, :n] + _PERM_B[None, :n]) % _MERSENNE_61
-        return (h & _MAX32).min(axis=0)
+        return perm_hash(f[:, None], n).min(axis=0)
     finally:
         np.seterr(**old)
 

@@ -28,13 +28,18 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from iscc_specs_spark.operators.dedup_variants import cosine_expr
+from iscc_specs_spark.operators.dedup_variants import dot_expr
 
 
 def _as_double(df: DataFrame, out: str = "v") -> DataFrame:
     return df.select(
         "vec_id", F.col("embedding").cast("array<double>").alias(out)
     )
+
+
+def _cos(vq, nq, vc, nc):
+    """cosine from precomputed norms — bit-identical to the per-pair form."""
+    return F.round(dot_expr(vq, vc) / (nq * nc), 6)
 
 
 def brute_force_topk(
@@ -44,16 +49,25 @@ def brute_force_topk(
 
     queries: (vec_id, embedding) — broadcast side. Returns
     (query_id, neighbor_id, cosine, rank) with rank 1..k, ties broken by
-    neighbor_id; the query vector itself is excluded.
+    neighbor_id; the query vector itself is excluded. Norms are computed
+    once per row before the join.
     """
-    corpus = _as_double(emb, "vc").withColumnRenamed("vec_id", "neighbor_id")
-    q = _as_double(queries, "vq").withColumnRenamed("vec_id", "query_id")
+    corpus = (
+        _as_double(emb, "vc")
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("nc", F.sqrt(dot_expr(F.col("vc"), F.col("vc"))))
+    )
+    q = (
+        _as_double(queries, "vq")
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumn("nq", F.sqrt(dot_expr(F.col("vq"), F.col("vq"))))
+    )
     scored = (
         corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("vq"), F.col("vc")), 6).alias("cosine"),
+            _cos(F.col("vq"), F.col("nq"), F.col("vc"), F.col("nc")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -114,8 +128,16 @@ def rhp_lsh_topk(
     which never shuffles (re-rank joins fetch it via the bucket join).
     """
     dim = len(emb.select("embedding").first()[0])
-    corpus = _as_double(emb, "vc").withColumnRenamed("vec_id", "neighbor_id")
-    q = _as_double(queries, "vq").withColumnRenamed("vec_id", "query_id")
+    corpus = (
+        _as_double(emb, "vc")
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("nc", F.sqrt(dot_expr(F.col("vc"), F.col("vc"))))
+    )
+    q = (
+        _as_double(queries, "vq")
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumn("nq", F.sqrt(dot_expr(F.col("vq"), F.col("vq"))))
+    )
     c_buckets, q_probes = [], []
     for t in range(ntables):
         planes = hyperplanes(dim, nbits, seed + 1000 * t)
@@ -134,7 +156,7 @@ def rhp_lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("vq"), F.col("vc")), 6).alias("cosine"),
+        _cos(F.col("vq"), F.col("nq"), F.col("vc"), F.col("nc")).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -144,21 +144,40 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
+def dot_expr(a, b):
+    """Sequential-fold dot product (deterministic float order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Brute-force cosine near-dup pairs over embeddings(vec_id, embedding).
 
-    Quadratic verifier — at scale run it only on ann.py candidate buckets.
+    Norms are computed once per vector *before* the self-join (O(n) folds
+    instead of O(n²)); the per-pair work is a single zip_with/aggregate dot.
+    Bit-identical to dot/(sqrt(na)·sqrt(nb)) computed per pair — same values,
+    same operation order. Quadratic verifier — at scale run it only on
+    ann.py candidate buckets.
     """
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -157,7 +157,13 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, n_chars) to the north-rule pages shape, deterministically."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # driver tables are single small parquet files → one input split; spread
+    # the (Python-UDF-heavy) downstream work across the executor threads.
+    # At real scale the table scan supplies splits and this repartition
+    # would be dropped (it is a full shuffle of the source).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     title = F.concat(F.lit("doc "), F.lpad(F.col("doc_id").cast("string"), 10, "0"))
     html = F.concat(
         F.lit("<html><head><title>"), title,

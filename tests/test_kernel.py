@@ -161,3 +161,20 @@ def test_instance_id_basics():
     big = b"\xff" * 64001
     iid2, h2 = kernel.instance_id(big)
     assert iid2 != iid
+
+
+def test_mersenne61_fold_equals_mod():
+    import numpy as np
+
+    from iscc_specs_spark.kernel.sketches import _MERSENNE_61, mersenne61_mod
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 1 << 62, size=50000).astype(np.uint64) * np.uint64(4)
+    x += rng.randint(0, 4, size=50000).astype(np.uint64)
+    assert (mersenne61_mod(x) == x % _MERSENNE_61).all()
+    edges = np.array(
+        [0, 1, (1 << 61) - 2, (1 << 61) - 1, 1 << 61, (1 << 61) + 1,
+         2 * ((1 << 61) - 1), 2 * ((1 << 61) - 1) + 1, (1 << 64) - 1, (1 << 64) - 2],
+        dtype=np.uint64,
+    )
+    assert (mersenne61_mod(edges) == edges % _MERSENNE_61).all()
