@@ -133,7 +133,9 @@ def run_pipeline_only(cores: int, n_docs: int) -> dict:
     # identical deterministic input at every parallelism level; partition
     # count fixed (128) so the *data layout* is constant and only executor
     # parallelism varies between runs
-    pages = generate_pages(spark, n_docs, partitions=128)
+    pages = generate_pages(spark, n_docs, partitions=128).localCheckpoint(
+        eager=True  # synthesis excluded from the timed job
+    )
     compute_codes(pages.limit(64), ("text", "data")).collect()  # warmup
 
     def job():

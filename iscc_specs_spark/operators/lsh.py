@@ -116,16 +116,29 @@ def candidate_pairs(band_table: DataFrame, bucket_cap: int = 64) -> DataFrame:
     tagged = band_table.join(sizes, ["band_id", "band_hash"])
     tagged = tagged.where(F.col("bucket_n") >= 2)
 
+    # capped buckets: gather members per bucket (≤ bucket_cap, so the array
+    # row is bounded) and emit the C(k,2) pairs with an in-array combination
+    # explode — one shuffle on the bucket key instead of a bucket self-join
+    # (the groupBy reuses the sizes exchange partitioning).
     small = tagged.where(F.col("bucket_n") <= bucket_cap).select(
         "band_id", "band_hash", "url"
     )
-    pairs_small = (
-        small.alias("a")
-        .join(small.alias("b"), ["band_id", "band_hash"])
-        .where(F.col("a.url") < F.col("b.url"))
-        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    members = small.groupBy("band_id", "band_hash").agg(
+        F.collect_list("url").alias("ms")
+    )
+    combos = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "  filter(transform(ms, (y, j) -> "
+        "    IF(j > i, struct(least(x, y) AS url_a, greatest(x, y) AS url_b), "
+        "       NULL)), p -> p IS NOT NULL)))"
+    )
+    pairs_small = members.select(F.explode(combos).alias("p")).select(
+        "p.url_a", "p.url_b"
     )
 
+    # oversized buckets (skew): never collect — hub-and-spoke join keeps the
+    # plan streaming at any bucket cardinality, O(k) edges preserve
+    # connectivity for clustering.
     big = tagged.where(F.col("bucket_n") > bucket_cap).select(
         "band_id", "band_hash", "url"
     )
