@@ -58,13 +58,23 @@ def exact_pairs(codes: DataFrame, reps: DataFrame) -> DataFrame:
     )
 
 
-def rep_codes(codes: DataFrame, reps: DataFrame) -> DataFrame:
+def rep_codes(codes: DataFrame, reps: DataFrame | None = None) -> DataFrame:
     """Slim per-representative code table that feeds LSH (exact-dup groups
     collapse to their representative — degenerate-signature skew never
-    reaches the band join)."""
-    return codes.join(
-        reps.select(F.col("rep_url").alias("url")), "url", "left_semi"
-    ).select("url", "cid_body", "simhash", "minhash", "tophash")
+    reaches the band join).
+
+    One ``min_by`` aggregation on tophash — shares its exchange with
+    :func:`exact_rep_table` (same grouping key → ReusedExchange) instead of
+    the former semi-join (which cost two extra shuffles). ``reps`` is
+    accepted for API compatibility and unused."""
+    picked = codes.groupBy("tophash").agg(
+        F.min_by(
+            F.struct("url", "cid_body", "simhash", "minhash"), F.col("url")
+        ).alias("m")
+    )
+    return picked.select(
+        "m.url", "m.cid_body", "m.simhash", "m.minhash", "tophash"
+    )
 
 
 def minhash_bands(
@@ -102,6 +112,118 @@ def simhash_bands(codes: DataFrame, subkeys: int = 4) -> DataFrame:
     return codes.select("url", F.explode(F.array(*structs)).alias("b")).select(
         "url", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
+
+
+def _band_structs(bands: int, rows: int, subkeys: int = 4) -> list:
+    """Band-key struct expressions for one combined explode (minhash LSH
+    bands + simhash sub-key bands in a single projection pass)."""
+    out = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(
+                F.lit(i), *[F.col("minhash")[j] for j in range(i * rows, (i + 1) * rows)]
+            ).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+    width = 64 // subkeys
+    mask = (1 << width) - 1
+    out += [
+        F.struct(
+            F.lit(1000 + i).alias("band_id"),
+            (F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)))
+            .cast("long").alias("band_hash"),
+        )
+        for i in range(subkeys)
+    ]
+    return out
+
+
+def verified_bucket_pairs(
+    slim: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    bucket_cap: int = 64,
+    cid_max: int = CID_T_MAX_HAMMING,
+    sim_max: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Banding + candidate generation + exact verification in one shuffle
+    chain — no post-hoc join back to the code table.
+
+    The verification fields (cid_body, simhash, tophash ≈ 80 B) ride along
+    with each band row, so in-bucket pairs are verified inline by native
+    bit_count/XOR on the exploded combination structs. Compared to the
+    join-based verifier this removes two wide shuffles of the code table
+    and three query stages; the banding shuffle grows by ~4× in bytes but
+    stays a fraction of the code table (the 512 B minhash column — needed
+    only for the reported jaccard estimate, not the dup predicate — never
+    shuffles; it is re-attached to the few surviving pairs afterwards).
+
+    Oversized buckets (> bucket_cap, e.g. template farms): hub-and-spoke
+    edges to the bucket-min url, O(k) not O(k²), never collected into one
+    row; their verification happens on the (small) residual via
+    verify_pairs. Returns (url_a, url_b, cid_hamming, simhash_hamming,
+    exact_dup) for capped buckets plus unverified hub edges flagged
+    verified=false.
+    """
+    payload = F.struct(
+        F.col("url"), F.col("cid_body"), F.col("simhash"), F.col("tophash")
+    )
+    band_rows = slim.select(
+        payload.alias("m"), F.explode(F.array(*_band_structs(bands, rows))).alias("b")
+    ).select("m", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+
+    sizes = band_rows.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    tagged = band_rows.join(sizes, ["band_id", "band_hash"]).where(
+        F.col("bucket_n") >= 2
+    )
+
+    small = tagged.where(F.col("bucket_n") <= bucket_cap)
+    members = small.groupBy("band_id", "band_hash").agg(
+        F.collect_list("m").alias("ms")
+    )
+    combos = F.expr(
+        f"""
+        flatten(transform(ms, (x, i) ->
+          filter(transform(ms, (y, j) ->
+            IF(j > i AND (
+                 bit_count(x.cid_body ^ y.cid_body) <= {cid_max}
+                 OR bit_count(x.simhash ^ y.simhash) <= {sim_max}
+                 OR x.tophash = y.tophash),
+               struct(least(x.url, y.url) AS url_a,
+                      greatest(x.url, y.url) AS url_b,
+                      bit_count(x.cid_body ^ y.cid_body) AS cid_hamming,
+                      bit_count(x.simhash ^ y.simhash) AS simhash_hamming,
+                      x.tophash = y.tophash AS exact_dup),
+               NULL)), p -> p IS NOT NULL)))
+        """
+    )
+    pairs_small = (
+        members.select(F.explode(combos).alias("p"))
+        .select("p.url_a", "p.url_b", "p.cid_hamming", "p.simhash_hamming", "p.exact_dup")
+        .dropDuplicates(["url_a", "url_b"])
+        .withColumn("verified", F.lit(True))
+    )
+
+    big = tagged.where(F.col("bucket_n") > bucket_cap).select(
+        "band_id", "band_hash", F.col("m.url").alias("url")
+    )
+    hubs = big.groupBy("band_id", "band_hash").agg(F.min("url").alias("hub"))
+    pairs_big = (
+        big.join(hubs, ["band_id", "band_hash"])
+        .where(F.col("url") != F.col("hub"))
+        .select(
+            F.col("hub").alias("url_a"), F.col("url").alias("url_b"),
+            F.lit(None).cast("int").alias("cid_hamming"),
+            F.lit(None).cast("int").alias("simhash_hamming"),
+            F.lit(None).cast("boolean").alias("exact_dup"),
+        )
+        .dropDuplicates(["url_a", "url_b"])
+        .withColumn("verified", F.lit(False))
+    )
+    return pairs_small.unionByName(pairs_big)
 
 
 def candidate_pairs(band_table: DataFrame, bucket_cap: int = 64) -> DataFrame:
@@ -209,6 +331,24 @@ def verify_pairs(
     )
 
 
+def attach_jaccard(pairs: DataFrame, slim: DataFrame) -> DataFrame:
+    """Join the (few) surviving pairs back to the minhash signatures for the
+    reported jaccard estimate — survivors ≪ corpus, so these joins shuffle
+    a bounded fraction of what the old join-everything verifier moved."""
+    a = slim.select(F.col("url").alias("url_a"), F.col("minhash").alias("mh_a"))
+    b = slim.select(F.col("url").alias("url_b"), F.col("minhash").alias("mh_b"))
+    eq_minhash = F.expr(
+        "aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        "0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(a, "url_a")
+        .join(b, "url_b")
+        .withColumn("jaccard_est", eq_minhash / F.lit(64.0))
+        .drop("mh_a", "mh_b")
+    )
+
+
 def dup_pairs(
     codes: DataFrame,
     bands: int = DEFAULT_BANDS,
@@ -216,13 +356,41 @@ def dup_pairs(
     bucket_cap: int = 64,
     cid_max: int = CID_T_MAX_HAMMING,
     sim_max: int = SIMHASH_MAX_HAMMING,
+    compute_jaccard: bool = True,
 ) -> DataFrame:
-    """codes → verified duplicate pairs (exact ∪ minhash-LSH ∪ simhash)."""
+    """codes → verified duplicate pairs (exact ∪ minhash-LSH ∪ simhash).
+
+    Capped buckets verify inline during candidate generation
+    (verified_bucket_pairs); only oversized-bucket hub edges take the
+    residual join-verify path; jaccard estimates attach to survivors only
+    (``compute_jaccard=False`` skips those two joins — the dup predicate
+    never uses jaccard, it is reporting metadata).
+    """
     reps = exact_rep_table(codes)
     slim = rep_codes(codes, reps)
-    band_table = minhash_bands(slim, bands, rows).union(simhash_bands(slim))
-    cand = candidate_pairs(band_table, bucket_cap)
-    verified = verify_pairs(cand, slim, cid_max, sim_max)
+    vb = verified_bucket_pairs(slim, bands, rows, bucket_cap, cid_max, sim_max)
+    small_ok = (
+        vb.where(F.col("verified"))
+        .drop("verified")
+        .withColumn("src", F.lit("lsh"))
+    )
+    residual = vb.where(~F.col("verified")).select(
+        "url_a", "url_b", F.lit("lsh").alias("src")
+    )
+    residual_ok = verify_pairs(residual, slim, cid_max, sim_max)
+    if compute_jaccard:
+        small_full = attach_jaccard(small_ok, slim)
+    else:
+        small_full = small_ok.withColumn(
+            "jaccard_est", F.lit(None).cast("double")
+        )
+    cols = [
+        "url_a", "url_b", "src", "cid_hamming", "simhash_hamming",
+        "jaccard_est", "exact_dup",
+    ]
+    verified = small_full.select(*cols).unionByName(
+        residual_ok.select(*cols)
+    ).dropDuplicates(["url_a", "url_b"])
     exact = exact_pairs(codes, reps).select(
         "url_a", "url_b", "src",
         F.lit(0).alias("cid_hamming"), F.lit(0).alias("simhash_hamming"),

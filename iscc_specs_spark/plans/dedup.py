@@ -76,22 +76,22 @@ def run_dedup(
             # text-only run: no Instance-ID — disable the exact stage by
             # making every "group" the url itself
             codes = codes.withColumn("tophash", F.col("url"))
-        reps = lsh.exact_rep_table(codes)
-        slim = lsh.rep_codes(codes, reps)
-        band_table = lsh.minhash_bands(slim, cfg.bands, cfg.rows).union(
-            lsh.simhash_bands(slim)
+        if collect_lsh_metrics:
+            slim = lsh.rep_codes(codes)
+            band_table = lsh.minhash_bands(slim, cfg.bands, cfg.rows).union(
+                lsh.simhash_bands(slim)
+            )
+            metrics = lsh_metrics(band_table, cfg.bucket_cap)
+        else:
+            metrics = {}
+        pairs = store.write(
+            lsh.dup_pairs(
+                codes, cfg.bands, cfg.rows, cfg.bucket_cap, cfg.cid_max,
+                cfg.sim_max,
+            ),
+            "dup_pairs",
+            metrics,
         )
-        metrics = (
-            lsh_metrics(band_table, cfg.bucket_cap) if collect_lsh_metrics else {}
-        )
-        cand = lsh.candidate_pairs(band_table, cfg.bucket_cap)
-        verified = lsh.verify_pairs(cand, slim, cfg.cid_max, cfg.sim_max)
-        exact = lsh.exact_pairs(codes, reps).select(
-            "url_a", "url_b", "src",
-            F.lit(0).alias("cid_hamming"), F.lit(0).alias("simhash_hamming"),
-            F.lit(1.0).alias("jaccard_est"), F.lit(True).alias("exact_dup"),
-        )
-        pairs = store.write(verified.unionByName(exact), "dup_pairs", metrics)
 
     # ③ clusters (+ singleton attach)
     if store.has("clusters"):

@@ -49,17 +49,21 @@ FARM_WORDS = [WORDS[int(j)] for j in _FARM_RNG.integers(0, _N_WORDS, 300)]
 BOILER = " ".join(WORDS[i % _N_WORDS] for i in range(17, 27))
 
 
-def _base_words(base_id: int) -> list[str]:
+def _base_words(base_id: int, scale: int = 1) -> list[str]:
     rng = np.random.default_rng(SEED ^ (base_id * 2654435761 % (1 << 63)))
-    n = int(rng.integers(30, 600))
+    n = int(rng.integers(30, 600)) * scale
     return [WORDS[int(j)] for j in rng.integers(0, _N_WORDS, n)]
 
 
-def _row(doc_id: int) -> tuple[str, int, str, str, str, str, bytes]:
-    """Pure function doc_id → (url, ts_seconds, text, lang, cluster_id,
-    edit_class, html)."""
+def _row(
+    doc_id: int, scale: int = 1
+) -> tuple[str, int, str, str, str, str, bytes]:
+    """Pure function (doc_id, scale) → (url, ts_seconds, text, lang,
+    cluster_id, edit_class, html).  ``scale`` multiplies document length
+    (scale=1 ≈ 2 KB text; scale=4 ≈ 8 KB, a realistic web-page size) while
+    preserving the planted cluster structure."""
     if doc_id % 101 == 100:
-        words = list(FARM_WORDS)
+        words = list(FARM_WORDS) * scale
         words[doc_id % 50] = WORDS[doc_id % _N_WORDS]  # tiny per-member edit
         cluster, edit = "farm", "farm"
         title = "template farm landing page"
@@ -73,7 +77,7 @@ def _row(doc_id: int) -> tuple[str, int, str, str, str, str, bytes]:
         k = 2 + block % 7
         if pos < k:
             base_id = block * 20
-            words = _base_words(base_id)
+            words = _base_words(base_id, scale)
             cluster = f"c{base_id}"
             if pos == 0:
                 edit = "exact-base"
@@ -95,7 +99,7 @@ def _row(doc_id: int) -> tuple[str, int, str, str, str, str, bytes]:
                 # "exact" and "htmlnoise": text identical to base
             title = f"doc {base_id:010d} {words[0] if words else ''}"
         else:
-            words = _base_words(doc_id * 1_000_003 + 7)
+            words = _base_words(doc_id * 1_000_003 + 7, scale)
             cluster = f"s{doc_id}"
             edit = "singleton"
             title = f"doc {doc_id:010d} {words[0] if words else ''}"
@@ -111,22 +115,25 @@ def _row(doc_id: int) -> tuple[str, int, str, str, str, str, bytes]:
     return url, doc_id, text, lang, cluster, edit, html
 
 
-def _generate(batches):
-    for pdf in batches:
-        rows = [_row(int(i)) for i in pdf["id"]]
-        yield pd.DataFrame(
-            {
-                "url": [r[0] for r in rows],
-                "warc_ts": pd.to_datetime(
-                    [EPOCH + _dt.timedelta(seconds=r[1]) for r in rows]
-                ),
-                "html": [r[6] for r in rows],
-                "text": [r[2] for r in rows],
-                "lang": [r[3] for r in rows],
-                "cluster_id": [r[4] for r in rows],
-                "edit_class": [r[5] for r in rows],
-            }
-        )
+def _make_generate(scale: int = 1):
+    def _generate(batches):
+        for pdf in batches:
+            rows = [_row(int(i), scale) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pd.to_datetime(
+                        [EPOCH + _dt.timedelta(seconds=r[1]) for r in rows]
+                    ),
+                    "html": [r[6] for r in rows],
+                    "text": [r[2] for r in rows],
+                    "lang": [r[3] for r in rows],
+                    "cluster_id": [r[4] for r in rows],
+                    "edit_class": [r[5] for r in rows],
+                }
+            )
+
+    return _generate
 
 
 _FULL_SCHEMA = (
@@ -136,18 +143,26 @@ _FULL_SCHEMA = (
 
 
 def generate_pages_with_truth(
-    spark: SparkSession, n_docs: int, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    scale_words: int = 1,
 ) -> DataFrame:
     """pages + ground-truth columns; distributed and deterministic."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
     return (
         spark.range(0, n_docs, numPartitions=partitions)
-        .mapInPandas(_generate, schema=_FULL_SCHEMA)
+        .mapInPandas(_make_generate(scale_words), schema=_FULL_SCHEMA)
     )
 
 
-def generate_pages(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
-    return generate_pages_with_truth(spark, n_docs, partitions).drop(
+def generate_pages(
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    scale_words: int = 1,
+) -> DataFrame:
+    return generate_pages_with_truth(spark, n_docs, partitions, scale_words).drop(
         "cluster_id", "edit_class"
     )
 
