@@ -63,6 +63,11 @@ def connected_components(
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     ).distinct()
+    # materialize the input edge list BEFORE iterating: each star round
+    # references `edges` several times (unions + joins), and a lazy upstream
+    # DAG would be re-executed once per reference inside round 0 (measured
+    # 5× wall blow-up with a lazy LSH pair plan upstream)
+    edges = edges.localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)

@@ -45,13 +45,20 @@ def exact_rep_table(codes: DataFrame) -> DataFrame:
 
 
 def exact_pairs(codes: DataFrame, reps: DataFrame) -> DataFrame:
-    """Hub-and-spoke edges inside each exact-duplicate group."""
+    """Hub-and-spoke edges inside each exact-duplicate group.
+
+    ``reps`` may be the (tophash, rep_url) table from exact_rep_table OR the
+    slim code table (whose url IS the group representative) — only the
+    tophash→representative mapping is consumed."""
+    rep_col = "rep_url" if "rep_url" in reps.columns else "url"
     return (
         codes.select("tophash", "url")
-        .join(reps.select("tophash", "rep_url"), "tophash")
-        .where(F.col("url") != F.col("rep_url"))
+        .join(
+            reps.select("tophash", F.col(rep_col).alias("_rep")), "tophash"
+        )
+        .where(F.col("url") != F.col("_rep"))
         .select(
-            F.col("rep_url").alias("url_a"),
+            F.col("_rep").alias("url_a"),
             F.col("url").alias("url_b"),
             F.lit("exact").alias("src"),
         )
@@ -357,6 +364,7 @@ def dup_pairs(
     cid_max: int = CID_T_MAX_HAMMING,
     sim_max: int = SIMHASH_MAX_HAMMING,
     compute_jaccard: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """codes → verified duplicate pairs (exact ∪ minhash-LSH ∪ simhash).
 
@@ -365,9 +373,17 @@ def dup_pairs(
     residual join-verify path; jaccard estimates attach to survivors only
     (``compute_jaccard=False`` skips those two joins — the dup predicate
     never uses jaccard, it is reporting metadata).
+
+    ``materialize=True`` checkpoints the slim representative table: it has
+    ~6 downstream consumers (banding, sizes, verify sides, jaccard sides,
+    exact pairs) and without materialization Spark re-expands — and
+    re-shuffles — the full-corpus tophash aggregation once per consumer
+    (visible in explain as duplicated min_by subtrees). At warehouse scale
+    this would instead be a written stage table (plans/dedup.py).
     """
-    reps = exact_rep_table(codes)
-    slim = rep_codes(codes, reps)
+    slim = rep_codes(codes)
+    if materialize:
+        slim = slim.localCheckpoint(eager=True)
     vb = verified_bucket_pairs(slim, bands, rows, bucket_cap, cid_max, sim_max)
     small_ok = (
         vb.where(F.col("verified"))
@@ -391,7 +407,7 @@ def dup_pairs(
     verified = small_full.select(*cols).unionByName(
         residual_ok.select(*cols)
     ).dropDuplicates(["url_a", "url_b"])
-    exact = exact_pairs(codes, reps).select(
+    exact = exact_pairs(codes, slim).select(
         "url_a", "url_b", "src",
         F.lit(0).alias("cid_hamming"), F.lit(0).alias("simhash_hamming"),
         F.lit(1.0).alias("jaccard_est"), F.lit(True).alias("exact_dup"),
