@@ -110,6 +110,16 @@ def _q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_mixed_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators import lsh
+    from iscc_specs_spark.operators.cluster import assign_clusters
+    from iscc_specs_spark.operators.mixed import cluster_mixed_cid
+
+    codes = _codes(spark, sf_dir)
+    clusters = assign_clusters(codes.select("url"), lsh.dup_pairs(codes))
+    return cluster_mixed_cid(codes, clusters)
+
+
 def _q_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.substring import substring_matches
 
@@ -281,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pairs": _q_dedup_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "lsh_band_stats": _q_lsh_band_stats,
+        "cluster_mixed_cid": _q_cluster_mixed_cid,
         "substring_matches": _q_substring_matches,
         "multimodal_features": _q_multimodal_features,
         "ann_lsh_topk": _q_ann_lsh_topk,

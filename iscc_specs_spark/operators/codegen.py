@@ -71,10 +71,6 @@ def compute_codes(
             "data" → Data-ID + Instance-ID (reads the html binary column).
     """
     in_cols = ["url", "warc_ts"]
-    if "data" in tracks or "text" in tracks:
-        # title comes from html only when the data track already pays for the
-        # html read; otherwise derive it from text (cheap, prunes the scan)
-        pass
     if "text" in tracks:
         in_cols.append("text")
     if "data" in tracks:
