@@ -183,7 +183,19 @@ def verified_bucket_pairs(
     sizes = band_rows.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
-    tagged = band_rows.join(sizes, ["band_id", "band_hash"]).where(
+    # Skew split: hot buckets (> bucket_cap) are FEW by construction — one
+    # row per mega-bucket — so their key list broadcasts at any corpus
+    # size. Routing rows via broadcast semi/anti joins means no shuffle in
+    # this plan ever hash-partitions by a hot (band_id, band_hash) key with
+    # unbounded rows behind it: the cold join has ≤ bucket_cap rows per key
+    # by construction, and the hot path's only wide op is a partial-agg min.
+    hot_keys = sizes.where(F.col("bucket_n") > bucket_cap).select(
+        "band_id", "band_hash"
+    )
+    cold_rows = band_rows.join(
+        F.broadcast(hot_keys), ["band_id", "band_hash"], "left_anti"
+    )
+    tagged = cold_rows.join(sizes, ["band_id", "band_hash"]).where(
         F.col("bucket_n") >= 2
     )
 
@@ -214,12 +226,14 @@ def verified_bucket_pairs(
         .withColumn("verified", F.lit(True))
     )
 
-    big = tagged.where(F.col("bucket_n") > bucket_cap).select(
-        "band_id", "band_hash", F.col("m.url").alias("url")
-    )
+    big = band_rows.join(
+        F.broadcast(hot_keys), ["band_id", "band_hash"], "left_semi"
+    ).select("band_id", "band_hash", F.col("m.url").alias("url"))
+    # map-side partial min per bucket → hubs is one row per hot bucket
+    # (small) → broadcast back; the hot keys never drive a shuffle partition
     hubs = big.groupBy("band_id", "band_hash").agg(F.min("url").alias("hub"))
     pairs_big = (
-        big.join(hubs, ["band_id", "band_hash"])
+        big.join(F.broadcast(hubs), ["band_id", "band_hash"])
         .where(F.col("url") != F.col("hub"))
         .select(
             F.col("hub").alias("url_a"), F.col("url").alias("url_b"),
