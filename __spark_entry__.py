@@ -5,19 +5,43 @@ verified pairs → connected-components clusters) on the sf0.001 documents
 table adapted to the north-rule pages shape.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + the training-data operators). SQL-expressible ops
-carry an exact DuckDB oracle twin; the ISCC-kernel ops (xxhash/minhash/
-CDC/merkle inside Arrow-vectorized UDFs) are not expressible in SQL and are
-covered by the bit-for-bit conformance suite (tests/test_conformance.py)
-plus rows-only checks here.
+family (SURVEY.md §2 + the training-data operators), each with an exact
+DuckDB oracle twin.  Directly SQL-expressible ops have self-contained SQL;
+the ISCC-kernel ops (xxhash/minhash/CDC/merkle inside Arrow-vectorized
+UDFs) *stage* the kernel-computed codes table to parquet inside the Spark
+query, and the oracle recomputes every Spark-side derivation (LSH banding,
+pair verification, connected components, Mixed-CID majority vote, base58)
+from that staged parquet in DuckDB (iscc_specs_spark/oracles.py).  The
+kernel values themselves are pinned bit-for-bit by the vendored golden
+vectors (tests/test_conformance.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+STAGE_ROOT = "/tmp/spark_graft_stage"
+_EMB_DIM = 64  # driver embeddings tables are 64-dim at every sf
+
+_staged: set[tuple[str, str]] = set()  # (sf_dir, what) written this process
+
+
+def _stage_dir(sf_dir: str) -> str:
+    return os.path.join(STAGE_ROOT, os.path.basename(sf_dir.rstrip("/")))
+
+
+def _stage(df: DataFrame, sf_dir: str, what: str) -> None:
+    """Write a side-output parquet for the DuckDB oracle (once per process
+    per sf_dir — the content is a pure function of the input tables)."""
+    key = (sf_dir, what)
+    if key in _staged:
+        return
+    df.write.mode("overwrite").parquet(os.path.join(_stage_dir(sf_dir), what))
+    _staged.add(key)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +65,14 @@ def entry(spark: SparkSession) -> DataFrame:
     pairs = lsh.dup_pairs(codes)
     clusters = assign_clusters(codes.select("url"), pairs)
     return (
-        codes.select("url", "meta_id", "content_id", "data_id", "instance_id")
+        codes.select(
+            "url",
+            # fully-qualified ISCC (reference tools/stamp.py:43 composition)
+            F.concat_ws(
+                "-", "meta_id", "content_id", "data_id", "instance_id"
+            ).alias("iscc"),
+            "meta_id", "content_id", "data_id", "instance_id",
+        )
         .join(clusters, "url")
     )
 
@@ -51,25 +82,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _q_iscc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iscc_specs_spark.operators.codegen import compute_codes
-    from iscc_specs_spark.sources.pages import pages_from_documents
-
-    codes = compute_codes(pages_from_documents(spark, sf_dir), ("text", "data"))
+    codes = _codes(spark, sf_dir)
     return codes.select(
-        "url", "meta_id", "content_id", "data_id", "instance_id", "tophash",
-        "simhash", "n_features",
+        "url",
+        # fully-qualified ISCC (reference README.md:38, tools/stamp.py:43)
+        F.concat_ws(
+            "-", "meta_id", "content_id", "data_id", "instance_id"
+        ).alias("iscc"),
+        "meta_id", "content_id", "data_id", "instance_id", "tophash",
+        "simhash", "n_features", "n_bytes",
     )
 
 
 def _codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """codes table, materialized once (dup_pairs/clustering reuse it several
-    times — without the checkpoint every consumer re-runs the codegen UDFs)."""
+    times — without the checkpoint every consumer re-runs the codegen UDFs)
+    and staged to parquet for the DuckDB oracle twins."""
     from iscc_specs_spark.operators.codegen import compute_codes
     from iscc_specs_spark.sources.pages import pages_from_documents
 
-    return compute_codes(
+    codes = compute_codes(
         pages_from_documents(spark, sf_dir), ("text", "data")
     ).localCheckpoint(eager=True)
+    _stage(codes, sf_dir, "codes")
+    return codes
 
 
 def _q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,15 +159,19 @@ def _q_cluster_mixed_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.substring import substring_matches
 
-    return substring_matches(_docs(spark, sf_dir), min_len=48)
+    # md5 anchors: DuckDB computes the identical window hash, so the whole
+    # winnow/index/span stage is oracle-checked (production default: xxh64)
+    return substring_matches(_docs(spark, sf_dir), min_len=48, anchor="md5")
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.multimodal import extract_features, synthetic_assets
 
-    feats = extract_features(synthetic_assets(spark, n=64))
+    assets = synthetic_assets(spark, n=64)
+    _stage(assets.select("asset_id", "kind", "payload"), sf_dir, "assets")
+    feats = extract_features(assets)
     return feats.select(
-        "asset_id", "kind", "n_bytes", "sha256",
+        "asset_id", "kind", "n_bytes", "payload_fp",
         F.round("byte_entropy", 6).alias("byte_entropy"),
     )
 
@@ -162,6 +202,14 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators.dedup_variants import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(
+        _emb(spark, sf_dir), threshold=0.4, nbits=4, ntables=8, dim=_EMB_DIM
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.ann import brute_force_topk
 
@@ -177,7 +225,8 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     res = rhp_lsh_topk(
-        emb, emb.where(F.col("vec_id") < 5), k=5, nbits=8, ntables=4
+        emb, emb.where(F.col("vec_id") < 5), k=5, nbits=8, ntables=4,
+        dim=_EMB_DIM,
     )
     return res.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -254,13 +303,18 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_orders"),
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
+    # distributed partial top-k: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition heap + driver merge) instead of
+    # an unpartitioned global window that would move every aggregate row to
+    # one partition; the rank window then runs on the ≤10 survivors only.
+    top = (
         rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
     )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +340,7 @@ def _q_user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ISCC pipeline (kernel-backed; rows-only oracle — see oracle_sql note)
+        # ISCC pipeline (kernel-backed; oracled via staged codes parquet)
         "iscc_codes": _q_iscc_codes,
         "dedup_pairs": _q_dedup_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -299,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -354,6 +409,29 @@ _COS = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from iscc_specs_spark import oracles as _o
+
+    # the driver's correctness gate runs at sf0.01; check_oracles.py sets
+    # this env var when pointing the harness at another sf dir
+    sf_name = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+    stage = os.path.join(STAGE_ROOT, sf_name)
+    codes_pq = f"{stage}/codes/*.parquet"
+    assets_pq = f"{stage}/assets/*.parquet"
+    staged_oracles = {
+        "iscc_codes": _o.iscc_codes_sql(codes_pq),
+        "dedup_pairs": _o.dedup_pairs_sql(codes_pq),
+        "dedup_clusters": _o.dedup_clusters_sql(codes_pq),
+        "lsh_band_stats": _o.lsh_band_stats_sql(codes_pq),
+        "cluster_mixed_cid": _o.cluster_mixed_cid_sql(codes_pq),
+        "substring_matches": _o.substring_matches_sql(min_len=48),
+        "multimodal_features": _o.multimodal_features_sql(assets_pq),
+        "ann_lsh_topk": _o.ann_lsh_topk_sql(
+            dim=_EMB_DIM, k=5, nbits=8, ntables=4
+        ),
+        "embedding_neardup_lsh": _o.embedding_neardup_lsh_sql(
+            dim=_EMB_DIM, threshold=0.4, nbits=4, ntables=8
+        ),
+    }
     lang_hits = ", ".join(
         f"CAST(len(list_intersect(list_distinct({_TOKS}), {_SW[l]})) AS BIGINT) AS hits_{l}"
         for l in ("de", "en", "es", "fr")
@@ -362,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
     cos_ab = _COS.format(a="a.v", b="b.v")
     cos_qe = _COS.format(a="q.v", b="e.v")
     return {
+        **staged_oracles,
         "exact_dedup": f"""
             WITH fp AS (SELECT doc_id, md5({_NORM}) AS content_fp FROM documents),
             g AS (SELECT content_fp, CAST(count(*) AS BIGINT) AS group_size,
@@ -376,9 +455,16 @@ def oracle_sql() -> dict[str, str]:
             sh AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(3)})) AS shingle
                    FROM toks),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            -- mirror of shingle_df_cap=1000 (operators/dedup_variants.py):
+            -- sizes count ALL shingles, the join drops the hot ones
+            capped AS (
+                SELECT sh.* FROM sh
+                JOIN (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING count(*) <= 1000) keep USING (shingle)
+            ),
             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                              CAST(count(*) AS BIGINT) AS n_inter
-                      FROM sh a JOIN sh b USING (shingle)
+                      FROM capped a JOIN capped b USING (shingle)
                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
             SELECT doc_a, doc_b, n_inter,
                    round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard

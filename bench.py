@@ -37,6 +37,7 @@ HEADLINE = [
     "exact_dedup",
     "ngram_jaccard",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "ann_topk",
     "ann_lsh_topk",
     "token_counts",

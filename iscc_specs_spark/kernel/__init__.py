@@ -17,6 +17,7 @@ from iscc_specs_spark.kernel.codes import (
     meta_id,
 )
 from iscc_specs_spark.kernel.cdc import data_chunks
+from iscc_specs_spark.kernel.images import content_id_image, dct, image_hash
 from iscc_specs_spark.kernel.sketches import minimum_hash, similarity_hash
 from iscc_specs_spark.kernel.textnorm import text_normalize, text_trim
 from iscc_specs_spark.kernel.xxhashes import xxh32, xxh64
@@ -28,7 +29,10 @@ __all__ = [
     "meta_id",
     "content_id_text",
     "content_id_text_full",
+    "content_id_image",
     "content_id_mixed",
+    "image_hash",
+    "dct",
     "data_id",
     "data_id_full",
     "instance_id",

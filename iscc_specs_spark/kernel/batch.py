@@ -159,7 +159,8 @@ def meta_batch(titles: Sequence[str | None], extras: Sequence[str] | None = None
         concats.append(" ".join((t, e)).strip())
 
     fast = [i for i, c in enumerate(concats) if c.isascii() and len(c) >= width]
-    slow = [i for i in range(n_rows) if i not in set(fast)]
+    fast_set = set(fast)
+    slow = [i for i in range(n_rows) if i not in fast_set]
 
     if fast:
         lens = np.array([len(concats[i]) - width + 1 for i in fast], dtype=np.int64)

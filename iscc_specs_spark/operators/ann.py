@@ -111,6 +111,7 @@ def rhp_lsh_topk(
     ntables: int = 8,
     seed: int = 7,
     multiprobe_bits: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k (same output schema as brute force).
 
@@ -127,7 +128,14 @@ def rhp_lsh_topk(
     by ntables but each row is (id, bucket) — tiny vs the embedding column,
     which never shuffles (re-rank joins fetch it via the bucket join).
     """
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        # prefer the schema (free); fall back to a one-row peek only for
+        # untyped inputs — pass dim explicitly in production plans.
+        elem = emb.schema["embedding"].dataType
+        row = emb.select(F.size("embedding").alias("d")).first()
+        if row is None:
+            raise ValueError(f"cannot infer dim from empty embeddings ({elem})")
+        dim = int(row["d"])
     corpus = (
         _as_double(emb, "vc")
         .withColumnRenamed("vec_id", "neighbor_id")

@@ -31,6 +31,8 @@ from iscc_specs_spark.kernel.batch import (
 )
 
 _TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.S | re.I)
+# same pattern for the vectorized pandas .str.extract path (str input)
+_TITLE_PAT = "(?is)<title[^>]*>(.*?)</title>"
 
 TEXT_COLS = (
     "meta_id string, mid_body long, title string, "
@@ -87,7 +89,15 @@ def compute_codes(
                 texts = pdf["text"].tolist()
                 if want_data:
                     htmls = pdf["html"].tolist()
-                    titles = [_extract_title(h) for h in htmls]
+                    # vectorized pandas .str.extract across the Arrow batch
+                    # (one compiled-regex pass, no per-row Python loop)
+                    titles = (
+                        pdf["html"]
+                        .str.decode("utf-8", "replace")
+                        .str.extract(_TITLE_PAT, expand=False)
+                        .fillna("")
+                        .tolist()
+                    )
                 else:
                     # text-only run never reads html; derive a title proxy
                     # from the first 8 words (documented deviation)

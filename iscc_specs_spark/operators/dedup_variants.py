@@ -85,7 +85,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    shingle_df_cap: int | None = None,
+    shingle_df_cap: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold.
 
@@ -94,6 +94,9 @@ def ngram_jaccard_pairs(
     whose document frequency exceeds the cap (skew guard: a stopword shingle
     shared by 10⁶ docs would create 10¹² join rows; capped shingles cannot
     decide a ≥0.5-Jaccard pair on their own and the survivors still vote).
+    The cap defaults ON (1000) — an uncapped self-join is quadratic in the
+    hottest shingle's document frequency; pass None only for exact-Jaccard
+    verification over pre-filtered candidate sets.
     """
     sh = word_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -179,5 +182,71 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
                 dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    nbits: int = 4,
+    ntables: int = 8,
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-gated embedding near-dup pairs — the scale path the brute-force
+    verifier above gates at 100 TB.
+
+    Random-hyperplane bucketing (same family as operators/ann.py): each
+    vector lands in one ``nbits``-bit bucket per table; only pairs sharing
+    ≥1 bucket are scored, so the join is bucket-local (≈ n²/2^nbits per
+    table instead of n² — and at scale the bucket table is written
+    partitioned by (t, h) so the self-join co-locates without a shuffle).
+    Exact cosine is computed on candidates only; no CartesianProduct /
+    BroadcastNestedLoop anywhere in the plan.
+
+    Candidate recall is 1 − (1 − p^nbits)^ntables with p = 1 − θ/π: the
+    defaults give ≈0.998 for true near-dups (cosine ≥ 0.9); low-similarity
+    pairs (≈0.4) are intentionally under-sampled — that is the pruning.
+    """
+    from iscc_specs_spark.operators.ann import hyperplanes, rhp_signature
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    if dim is None:
+        row = e.select(F.size("v").alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer dim from empty embeddings")
+        dim = int(row["d"])
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("t"),
+            rhp_signature(F.col("v"), hyperplanes(dim, nbits, seed + 1000 * t)).alias("h"),
+        )
+        for t in range(ntables)
+    ]
+    bucketed = e.select(
+        "vec_id", "v", "nrm", F.explode(F.array(*bucket_structs)).alias("b")
+    ).select("vec_id", "v", "nrm", F.col("b.t").alias("t"), F.col("b.h").alias("h"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "t", "h",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "t", "h",
+    )
+    return (
+        a.join(b, ["t", "h"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
         .where(F.col("cosine") >= threshold)
     )

@@ -414,6 +414,12 @@ def dup_pairs(
         small_full = small_ok.withColumn(
             "jaccard_est", F.lit(None).cast("double")
         )
+        # keep both branches NULL: a pair surviving in both would otherwise
+        # reach dropDuplicates with two rows differing only in jaccard_est —
+        # which one wins is nondeterministic
+        residual_ok = residual_ok.withColumn(
+            "jaccard_est", F.lit(None).cast("double")
+        )
     cols = [
         "url_a", "url_b", "src", "cid_hamming", "simhash_hamming",
         "jaccard_est", "exact_dup",

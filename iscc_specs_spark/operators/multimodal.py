@@ -35,6 +35,7 @@ ASSET_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "asset_id long, kind string, n_bytes long, sha256 string, "
+    "payload_fp string, "
     "byte_entropy double, histogram array<int>, thumb array<double>"
 )
 
@@ -77,6 +78,10 @@ def fake_features(payload: bytes) -> dict:
     return {
         "n_bytes": int(buf.size),
         "sha256": hashlib.sha256(payload or b"").hexdigest(),
+        # fingerprint of the lowercase-hex payload: equivalent integrity
+        # check that the DuckDB oracle can recompute (its sha256() only
+        # accepts VARCHAR, so raw-byte digests are not cross-checkable)
+        "payload_fp": hashlib.sha256((payload or b"").hex().encode()).hexdigest(),
         "byte_entropy": entropy,
         "histogram": hist.astype("int32").tolist(),
         "thumb": thumb,
@@ -99,6 +104,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "sha256": [f["sha256"] for f in feats],
+                    "payload_fp": [f["payload_fp"] for f in feats],
                     "byte_entropy": [f["byte_entropy"] for f in feats],
                     "histogram": [f["histogram"] for f in feats],
                     "thumb": [f["thumb"] for f in feats],

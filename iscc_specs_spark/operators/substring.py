@@ -44,23 +44,38 @@ def anchor_table(
     sample: int = DEFAULT_SAMPLE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    anchor: str = "xxh64",
 ) -> DataFrame:
-    """(doc_id, pos, anchor_hash) — winnowed k-gram anchors, all native SQL."""
+    """(doc_id, pos, anchor_hash) — winnowed k-gram anchors, all native SQL.
+
+    ``anchor``: window-hash function. "xxh64" (default — fastest, Spark
+    native) keeps a window iff ``xxhash64(window) % sample == 0``; "md5"
+    (cross-engine: DuckDB computes the identical hash, so the whole stage is
+    oracle-checkable) keeps a window iff its last md5 hex nibble ≡ 0 mod
+    ``sample`` (sample must divide 16). Identical selection density and
+    content-defined behavior either way.
+    """
     norm = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(norm)
     positions = F.when(
         n >= k, F.sequence(F.lit(1), n - k + 1)
     ).otherwise(F.array().cast("array<int>"))
+    if anchor == "xxh64":
+        hash_of = lambda p: F.xxhash64(F.substring(norm, p, k))
+        keep = lambda a: F.pmod(a["anchor_hash"], F.lit(sample)) == 0
+    elif anchor == "md5":
+        if 16 % sample:
+            raise ValueError("md5 anchor sampling requires sample | 16")
+        nibbles = [format(v, "x") for v in range(16) if v % sample == 0]
+        hash_of = lambda p: F.md5(F.substring(norm, p, k))
+        keep = lambda a: F.substring(a["anchor_hash"], 32, 1).isin(nibbles)
+    else:
+        raise ValueError(f"unknown anchor hash: {anchor}")
     anchors = F.transform(
         positions,
-        lambda p: F.struct(
-            p.alias("pos"),
-            F.xxhash64(F.substring(norm, p, k)).alias("anchor_hash"),
-        ),
+        lambda p: F.struct(p.alias("pos"), hash_of(p).alias("anchor_hash")),
     )
-    kept = F.filter(
-        anchors, lambda a: F.pmod(a["anchor_hash"], F.lit(sample)) == 0
-    )
+    kept = F.filter(anchors, keep)
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(kept).alias("a")
     ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.anchor_hash").alias("anchor_hash"))
@@ -73,6 +88,7 @@ def substring_matches(
     min_len: int = DEFAULT_MIN_LEN,
     df_cap: int = DEFAULT_DF_CAP,
     min_anchors: int = 2,
+    anchor: str = "xxh64",
 ) -> DataFrame:
     """Cross-document exact long-match spans.
 
@@ -80,7 +96,7 @@ def substring_matches(
     match_len_lb is the *verified lower bound* on the shared-substring
     length (span between first and last co-linear shared anchors + k).
     """
-    anchors = anchor_table(docs, k, sample)
+    anchors = anchor_table(docs, k, sample, anchor=anchor)
     # skew guard: drop anchors present in too many docs (boilerplate)
     df_counts = anchors.groupBy("anchor_hash").agg(
         F.count_distinct("doc_id").alias("df")

@@ -1,0 +1,422 @@
+"""DuckDB oracle SQL builders for the driver's correctness gate.
+
+The ISCC kernel (xxhash/MinHash/CDC/merkle) is not expressible in ANSI SQL,
+so the kernel-derived ``codes`` table is *staged* to parquet by the Spark
+query itself; the oracles here then recompute every Spark-side derivation —
+LSH banding, bucket capping, pair verification, connected components,
+per-bit Mixed-CID majority vote, base58 encoding — independently in DuckDB
+from that staged parquet.  Kernel values themselves are pinned bit-for-bit
+by tests/test_conformance.py (golden vectors), so the combination covers
+both layers: conformance proves the kernel, these oracles prove everything
+Spark does with it.
+
+Band buckets are grouped by the *raw* band value tuple here, while Spark
+groups by ``xxhash64`` of the tuple — identical bucketing unless xxhash64
+collides (≈ 2⁻⁶⁴ per bucket pair; acceptable for an oracle).
+
+Base58-iscc encoding is unrolled divmod-58 arithmetic over HUGEINT —
+see :func:`base58_body_sql`.
+"""
+
+from __future__ import annotations
+
+from iscc_specs_spark.kernel.codec import encode
+from iscc_specs_spark.kernel.constants import HEAD_CID_M, HEAD_CID_T, SYMBOLS
+
+# printable-ASCII characters removed by ISCC text_normalize (Unicode
+# categories in UNICODE_FILTER; kernel/textnorm.py) — the driver documents
+# are printable-ASCII, so normalized length is SQL-expressible with this
+# class (validated char-by-char against unicodedata in tests).
+ASCII_FILTER_CLASS = r"""[\s!"#%&''()*,\-./:;?@\[\\\]_{}]"""
+
+TWO64 = 1 << 64
+
+# Spark stores 64-bit code bodies as signed longs; DuckDB side lifts them to
+# unsigned HUGEINT for shift/divmod arithmetic.
+_UNSIGNED = (
+    "CAST({c} AS HUGEINT) + CASE WHEN {c} < 0 THEN {two64}::HUGEINT "
+    "ELSE 0::HUGEINT END"
+).format
+
+
+def unsigned64(col: str) -> str:
+    return _UNSIGNED(c=col, two64=TWO64)
+
+
+def base58_body_sql(expr: str) -> str:
+    """11-char base58-iscc encoding of an unsigned-64 HUGEINT expression
+    (kernel/codec.py:15-32, unrolled divmod 58)."""
+    chars = []
+    for j in range(10, -1, -1):
+        chars.append(
+            f"substr('{SYMBOLS}', CAST((({expr}) // {58**j}::HUGEINT) % 58 AS INT) + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+def bands_cte(codes_rel: str = "codes", bands: int = 16, rows: int = 4,
+              subkeys: int = 4) -> str:
+    """CTEs ``slim`` (one representative per tophash) and ``bandrows``
+    (url, band_id, band_key) mirroring operators/lsh.py banding, with raw
+    value tuples as band keys."""
+    structs = []
+    for i in range(bands):
+        lo, hi = i * rows + 1, (i + 1) * rows
+        structs.append(
+            f"{{'band_id': {i}, "
+            f"'band_key': array_to_string(minhash[{lo}:{hi}], ',')}}"
+        )
+    for i in range(subkeys):
+        width = 64 // subkeys
+        div = 1 << (i * width)
+        mask = (1 << width) - 1
+        structs.append(
+            f"{{'band_id': {1000 + i}, "
+            f"'band_key': CAST((usim // {div}::HUGEINT) % {mask + 1} AS VARCHAR)}}"
+        )
+    return f"""
+slim AS (
+    SELECT url, cid_body, simhash, minhash, tophash
+    FROM (SELECT *, row_number() OVER (PARTITION BY tophash ORDER BY url) AS rn
+          FROM {codes_rel})
+    WHERE rn = 1
+),
+usim AS (SELECT *, {unsigned64('simhash')} AS usim FROM slim),
+exploded AS (SELECT url, unnest([{", ".join(structs)}]) AS b FROM usim),
+bandrows AS (SELECT url, b.band_id AS band_id, b.band_key AS band_key FROM exploded)
+"""
+
+
+def pairs_ctes(bucket_cap: int = 64, cid_max: int = 10, sim_max: int = 3) -> str:
+    """CTEs from ``bandrows``/``slim``/``codes`` to ``final_pairs`` —
+    mirrors lsh.dup_pairs: cold-bucket C(k,2) + hot-bucket hub-and-spoke,
+    inline Hamming verification, union with exact tophash pairs."""
+    return f"""
+sized AS (SELECT band_id, band_key, count(*) AS n FROM bandrows GROUP BY 1, 2),
+cold AS (
+    SELECT b.url, b.band_id, b.band_key
+    FROM bandrows b JOIN sized s USING (band_id, band_key)
+    WHERE s.n BETWEEN 2 AND {bucket_cap}
+),
+cand_cold AS (
+    SELECT DISTINCT least(a.url, b.url) AS url_a, greatest(a.url, b.url) AS url_b
+    FROM cold a JOIN cold b USING (band_id, band_key)
+    WHERE a.url < b.url
+),
+hotrows AS (
+    SELECT b.url, b.band_id, b.band_key
+    FROM bandrows b JOIN sized s USING (band_id, band_key)
+    WHERE s.n > {bucket_cap}
+),
+hubs AS (SELECT band_id, band_key, min(url) AS hub FROM hotrows GROUP BY 1, 2),
+cand_hot AS (
+    SELECT DISTINCT hub AS url_a, url AS url_b
+    FROM hotrows JOIN hubs USING (band_id, band_key)
+    WHERE url <> hub
+),
+allcand AS (SELECT * FROM cand_cold UNION SELECT * FROM cand_hot),
+verified AS (
+    SELECT DISTINCT c.url_a, c.url_b, 'lsh' AS src,
+        CAST(bit_count(xor(a.cid_body, b.cid_body)) AS INT) AS cid_hamming,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS simhash_hamming,
+        (a.tophash = b.tophash) AS exact_dup
+    FROM allcand c
+    JOIN slim a ON c.url_a = a.url
+    JOIN slim b ON c.url_b = b.url
+    WHERE bit_count(xor(a.cid_body, b.cid_body)) <= {cid_max}
+       OR bit_count(xor(a.simhash, b.simhash)) <= {sim_max}
+       OR a.tophash = b.tophash
+),
+reps AS (SELECT tophash, min(url) AS rep FROM codes GROUP BY tophash),
+exact AS (
+    SELECT r.rep AS url_a, c.url AS url_b, 'exact' AS src,
+           CAST(0 AS INT) AS cid_hamming, CAST(0 AS INT) AS simhash_hamming,
+           TRUE AS exact_dup
+    FROM codes c JOIN reps r USING (tophash)
+    WHERE c.url <> r.rep
+),
+final_pairs AS (SELECT * FROM verified UNION ALL SELECT * FROM exact)
+"""
+
+
+def cc_ctes() -> str:
+    """Recursive min-label propagation over ``final_pairs`` edges →
+    ``labels`` (url, cluster_id) for every url in ``codes`` (singletons map
+    to themselves) — the oracle twin of operators/cluster.py."""
+    return """
+sym AS (
+    SELECT url_a AS u, url_b AS v FROM final_pairs
+    UNION
+    SELECT url_b AS u, url_a AS v FROM final_pairs
+),
+cc AS (
+    SELECT url, url AS lbl FROM codes
+    UNION
+    SELECT s.v AS url, cc.lbl FROM cc JOIN sym s ON cc.url = s.u
+),
+labels AS (SELECT url, min(lbl) AS cluster_id FROM cc GROUP BY url)
+"""
+
+
+def dedup_pairs_sql(codes_path: str) -> str:
+    return f"""
+WITH codes AS (SELECT * FROM read_parquet('{codes_path}')),
+{bands_cte()},
+{pairs_ctes()}
+SELECT url_a, url_b, src, cid_hamming, simhash_hamming, exact_dup
+FROM final_pairs
+"""
+
+
+def dedup_clusters_sql(codes_path: str) -> str:
+    return f"""
+WITH RECURSIVE codes AS (SELECT * FROM read_parquet('{codes_path}')),
+{bands_cte()},
+{pairs_ctes()},
+{cc_ctes()}
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+FROM labels GROUP BY cluster_id
+"""
+
+
+def lsh_band_stats_sql(codes_path: str) -> str:
+    return f"""
+WITH codes AS (SELECT * FROM read_parquet('{codes_path}')),
+{bands_cte()},
+sized AS (SELECT band_id, band_key, count(*) AS n FROM bandrows GROUP BY 1, 2)
+SELECT band_id, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket
+FROM sized GROUP BY band_id
+"""
+
+
+def cluster_mixed_cid_sql(codes_path: str) -> str:
+    """Per-cluster Mixed Content-ID: per-bit majority (ties → 1) over the
+    first 8 decoded bytes of each member's Content-ID = header byte
+    (constant HEAD_CID_T) + top 7 bytes of cid_body; then base58-encode
+    HEAD_CID_M + the 8-byte majority digest (kernel/codes.py:142-147)."""
+    head_t = HEAD_CID_T[0]
+    head_prefix = encode(HEAD_CID_M)  # 2-char header, e.g. "CM"
+    bit_sums = ",\n        ".join(
+        f"SUM(CAST((ucid // {1 << (63 - k)}::HUGEINT) % 2 AS BIGINT)) AS s{k}"
+        for k in range(56)
+    )
+    sim_terms = " + ".join(
+        f"CASE WHEN 2 * s{k} >= n THEN {1 << (55 - k)}::HUGEINT ELSE 0::HUGEINT END"
+        for k in range(56)
+    )
+    return f"""
+WITH RECURSIVE codes AS (SELECT * FROM read_parquet('{codes_path}')),
+{bands_cte()},
+{pairs_ctes()},
+{cc_ctes()},
+members AS (
+    SELECT l.cluster_id, {unsigned64('c.cid_body')} AS ucid
+    FROM codes c JOIN labels l USING (url)
+    WHERE c.content_id IS NOT NULL
+),
+agg AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+        {bit_sums}
+    FROM members GROUP BY cluster_id
+    HAVING count(*) >= 2
+),
+sim AS (
+    SELECT cluster_id, CAST(n AS INT) AS n_members,
+           {head_t}::HUGEINT * {1 << 56}::HUGEINT + ({sim_terms}) AS sim64
+    FROM agg
+)
+SELECT cluster_id,
+       '{head_prefix}' || {base58_body_sql('sim64')} AS mixed_cid,
+       n_members
+FROM sim
+"""
+
+
+def iscc_codes_sql(codes_path: str) -> str:
+    """Staged codes joined against independently recomputed columns: the url
+    mapping, n_features (normalized-length arithmetic — printable-ASCII
+    inputs only), n_bytes (rebuilt html length) and the composed ISCC come
+    from ``documents`` directly; kernel-only columns (xxhash/minhash/merkle)
+    are drift-checked against the staged parquet (pinned by conformance)."""
+    return f"""
+WITH staged AS (SELECT * FROM read_parquet('{codes_path}')),
+docs2 AS (
+    SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+           'doc ' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS title,
+           coalesce(text, '') AS text
+    FROM documents
+),
+indep AS (
+    SELECT url,
+        CAST(greatest(length(regexp_replace(lower(trim(text)),
+            '{ASCII_FILTER_CLASS}', '', 'g')) - 12, 1) AS INT) AS n_features,
+        CAST(length('<html><head><title>' || title
+            || '</title></head><body><p>' || text
+            || '</p></body></html>') AS INT) AS n_bytes
+    FROM docs2
+)
+SELECT s.url,
+       concat_ws('-', s.meta_id, s.content_id, s.data_id, s.instance_id) AS iscc,
+       s.meta_id, s.content_id, s.data_id, s.instance_id,
+       s.tophash, s.simhash, i.n_features, i.n_bytes
+FROM staged s JOIN indep i USING (url)
+"""
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH twins (hyperplanes are seeded driver-side constants,
+# inlined as SQL literals — operators/ann.py:hyperplanes)
+# ---------------------------------------------------------------------------
+
+def _sig_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, h in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in h) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def ann_lsh_topk_sql(
+    dim: int = 64, k: int = 5, nbits: int = 8, ntables: int = 4,
+    seed: int = 7, n_queries: int = 5,
+) -> str:
+    from iscc_specs_spark.operators.ann import hyperplanes
+
+    sig_cols = ", ".join(
+        _sig_sql("v", hyperplanes(dim, nbits, seed + 1000 * t)) + f" AS s{t}"
+        for t in range(ntables)
+    )
+    c_structs = ", ".join(
+        f"{{'t': {t}, 'h': s{t}}}" for t in range(ntables)
+    )
+    probe_structs = []
+    for t in range(ntables):
+        probe_structs.append(f"{{'t': {t}, 'h': s{t}}}")
+        probe_structs += [
+            f"{{'t': {t}, 'h': xor(s{t}, {1 << i})}}" for i in range(nbits)
+        ]
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (
+    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {sig_cols}
+    FROM e
+),
+cb AS (SELECT vec_id AS neighbor_id, v AS vc, nrm AS nc,
+              unnest([{c_structs}]) AS b FROM base),
+corpus AS (SELECT neighbor_id, vc, nc, b.t AS t, b.h AS h FROM cb),
+qp AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq,
+              unnest([{", ".join(probe_structs)}]) AS b
+       FROM base WHERE vec_id < {n_queries}),
+probes AS (SELECT query_id, vq, nq, b.t AS t, b.h AS h FROM qp),
+cand AS (
+    SELECT DISTINCT query_id, neighbor_id,
+           round(list_dot_product(vq, vc) / (nq * nc), 6) AS cosine
+    FROM corpus JOIN probes USING (t, h)
+    WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_lsh_sql(
+    dim: int = 64, threshold: float = 0.4, nbits: int = 4, ntables: int = 8,
+    seed: int = 11,
+) -> str:
+    from iscc_specs_spark.operators.ann import hyperplanes
+
+    sig_cols = ", ".join(
+        _sig_sql("v", hyperplanes(dim, nbits, seed + 1000 * t)) + f" AS s{t}"
+        for t in range(ntables)
+    )
+    structs = ", ".join(f"{{'t': {t}, 'h': s{t}}}" for t in range(ntables))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (
+    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {sig_cols}
+    FROM e
+),
+bk AS (SELECT vec_id, v, nrm, unnest([{structs}]) AS b FROM base),
+buckets AS (SELECT vec_id, v, nrm, b.t AS t, b.h AS h FROM bk),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM buckets a JOIN buckets b USING (t, h)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {threshold}
+"""
+
+
+def substring_matches_sql(
+    k: int = 24, min_len: int = 48, df_cap: int = 64, min_anchors: int = 2,
+) -> str:
+    """Full winnowed-anchor substring-dedup twin over ``documents`` — md5
+    window hashes (both engines), keep windows whose last md5 hex nibble is
+    ≡ 0 mod 4, df-cap, co-linear span merge (operators/substring.py)."""
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+pos AS (SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - {k} + 1, 0) + 1)) AS p
+        FROM d),
+anch AS (SELECT doc_id, CAST(p AS INT) AS pos,
+                md5(substr(t, CAST(p AS INT), {k})) AS h
+         FROM pos),
+kept AS (SELECT * FROM anch WHERE substr(h, 32, 1) IN ('0', '4', '8', 'c')),
+dfc AS (SELECT h FROM kept GROUP BY h
+        HAVING count(DISTINCT doc_id) <= {df_cap}),
+k2 AS (SELECT kept.* FROM kept JOIN dfc USING (h)),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+    FROM k2 a JOIN k2 b USING (h)
+    WHERE a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, pos_a - pos_b AS delta,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           min(pos_a) AS a_start, min(pos_b) AS b_start,
+           max(pos_a) - min(pos_a) + {k} AS match_len_lb
+    FROM shared GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, a_start, b_start, n_anchors, match_len_lb
+FROM runs
+WHERE n_anchors >= {min_anchors} AND match_len_lb >= {min_len}
+"""
+
+
+def multimodal_features_sql(assets_path: str) -> str:
+    """Independent recomputation of the byte-level features from the staged
+    asset payloads: n_bytes, payload fingerprint (sha256 of the lowercase
+    hex — DuckDB 1.0 sha256 only accepts VARCHAR) and byte entropy."""
+    return f"""
+WITH a AS (
+    SELECT asset_id, kind, lower(hex(payload)) AS hx,
+           octet_length(payload) AS n
+    FROM read_parquet('{assets_path}')
+),
+bytes AS (SELECT asset_id, unnest(range(1, n + 1)) AS i, hx, n FROM a),
+counts AS (
+    SELECT asset_id, substr(hx, CAST(2 * i - 1 AS INT), 2) AS byte,
+           count(*) AS cnt
+    FROM bytes GROUP BY 1, 2
+),
+ent AS (
+    SELECT c.asset_id,
+           -sum((cnt::DOUBLE / a.n) * log2(cnt::DOUBLE / a.n)) AS entropy
+    FROM counts c JOIN a USING (asset_id)
+    GROUP BY c.asset_id
+)
+SELECT a.asset_id, a.kind, CAST(a.n AS BIGINT) AS n_bytes,
+       sha256(a.hx) AS payload_fp,
+       round(ent.entropy, 6) AS byte_entropy
+FROM a JOIN ent USING (asset_id)
+"""

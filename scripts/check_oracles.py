@@ -11,6 +11,7 @@ Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -43,6 +44,9 @@ def canon(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # staged-parquet oracles resolve their stage dir from this (defaults to
+    # sf0.01, which is what the driver's gate runs)
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = os.path.basename(sf_dir.rstrip("/"))
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:

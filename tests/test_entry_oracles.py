@@ -5,6 +5,7 @@ replica of the driver's CORRECTNESS gate at sf0.01."""
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -12,9 +13,12 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-import __spark_entry__ as entrymod
-
 SF_DIR = "/root/testdata/sf0.001"
+# staged-parquet oracles must point at this sf's stage dir (set before
+# oracle_sql() is called at collection time)
+os.environ["SPARK_GRAFT_ORACLE_SF"] = os.path.basename(SF_DIR)
+
+import __spark_entry__ as entrymod  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
     "embeddings"
@@ -51,5 +55,6 @@ def test_oracle_parity(spark, ddb, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+    # every query now carries an oracle (kernel-backed ops via staged codes)
     rowsonly = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    assert rowsonly  # kernel-backed ops are covered by conformance tests
+    assert rowsonly == set()

@@ -30,6 +30,7 @@ def test_extract_features_schema_and_batching(spark):
     feats = M.extract_features(assets)
     assert feats.schema.simpleString() == (
         "struct<asset_id:bigint,kind:string,n_bytes:bigint,sha256:string,"
+        "payload_fp:string,"
         "byte_entropy:double,histogram:array<int>,thumb:array<double>>"
     )
     rows = feats.collect()
