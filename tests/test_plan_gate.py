@@ -1,0 +1,106 @@
+"""Plan-regression gate: scale anti-patterns fail CI instead of needing a
+judge. Asserts over `explain('formatted')` text at sf0.001:
+
+  * no CartesianProduct / BroadcastNestedLoopJoin anywhere except the two
+    documented exceptions (`embedding_neardup` — the intentionally-quadratic
+    exact verifier; `ann_topk` — non-equi broadcast of a tiny query set,
+    the corpus side never shuffles);
+  * top_customers compiles to a distributed partial top-k
+    (TakeOrderedAndProject), not an unpartitioned global window;
+  * narrow operators keep their parquet scans pruned (ReadSchema);
+  * the dedup hot path keeps Python out of everything downstream of the
+    codegen stage.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# intentionally quadratic / nested-loop query shapes (documented verifiers)
+NESTED_LOOP_OK = {"embedding_neardup", "ann_topk"}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entrymod.queries()
+    return {name: _plan(fn(spark, SF_DIR)) for name, fn in qs.items()}
+
+
+def test_no_cartesian_or_nested_loop(plans):
+    bad = {}
+    for name, txt in plans.items():
+        if name in NESTED_LOOP_OK:
+            continue
+        hits = re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", txt)
+        if hits:
+            bad[name] = sorted(set(hits))
+    assert not bad, f"nested-loop joins crept into: {bad}"
+
+
+def test_top_customers_partial_topk(plans):
+    assert "TakeOrderedAndProject" in plans["top_customers"]
+
+
+def test_narrow_scans_are_pruned(plans):
+    # token_counts must read only (doc_id, text) from documents
+    schemas = re.findall(r"ReadSchema: struct<(.*?)>", plans["token_counts"])
+    assert schemas, "no scan found"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_q1_filter_pushed_down(plans):
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plans["q1_pricing"])
+    assert any("l_shipdate" in p for p in pushed), pushed
+    schemas = re.findall(r"ReadSchema: struct<(.*?)>", plans["q1_pricing"])
+    assert all(len(s.split(",")) <= 7 for s in schemas), schemas
+
+
+def test_dedup_pairs_is_jvm_side_after_codegen(spark):
+    """Over a materialized codes table, dup_pairs must contain zero Python
+    stages — banding, capping and verification are all native SQL."""
+    from iscc_specs_spark.operators import lsh
+    from iscc_specs_spark.operators.codegen import compute_codes
+    from iscc_specs_spark.sources.pages import generate_pages
+
+    codes = compute_codes(
+        generate_pages(spark, 200, partitions=4), ("text", "data")
+    ).localCheckpoint(eager=True)
+    txt = _plan(lsh.dup_pairs(codes))
+    assert not re.search(
+        r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", txt
+    )
+
+
+def test_no_python_stages_outside_codegen_and_sources(plans):
+    """Queries whose inputs are the driver parquet tables (not the synthetic
+    mapInPandas sources) must contain at most the single codegen Python
+    stage; pure-SQL operators must contain none."""
+    pure_sql = [
+        "exact_dedup", "ngram_jaccard", "embedding_neardup",
+        "embedding_neardup_lsh", "ann_topk", "ann_lsh_topk", "token_counts",
+        "quality_scores", "language_id", "fingerprints", "q1_pricing",
+        "top_customers", "events_by_type", "user_last_event",
+        "substring_matches",
+    ]
+    for name in pure_sql:
+        assert not re.search(
+            r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
+            plans[name],
+        ), name
