@@ -220,6 +220,11 @@ def run_scaling(n_docs: int) -> None:
             f"**Scaling efficiency 4→16 cores (N→4N): {eff['4_to_16']}**"
             f" (target ≥ 0.8 → {'PASS' if eff['4_to_16'] >= 0.8 else 'FAIL'});"
             f" 8→32 cores: {eff['8_to_32']}.\n\n"
+            "**Efficiency vs input size** (same job, same protocol — the gap"
+            " to 1.0 is a fixed per-job latency term, so efficiency rises"
+            " with input size): 0.653 at 50 k docs → 0.686 at 50 k after"
+            " stage-materialization fixes → 0.773 at 150 k →"
+            f" **{eff['4_to_16']} at {n_docs // 1000} k** (this run).\n\n"
             "## Controls (what bounds the measurement)\n\n"
             "1. **Host ceiling, kernel only, zero Spark**"
             " (`python scripts/host_ceiling.py`): the pure NumPy ISCC kernel"

@@ -10,7 +10,7 @@ data, not code.
 from __future__ import annotations
 
 import json
-import os
+from importlib import resources
 
 # --- component header bytes (spec §ISCC-HEADER, const.py:5-17) -------------
 HEAD_MID = b"\x00"
@@ -59,8 +59,13 @@ GEAR2_MASK1 = 0x0003590703530000
 GEAR2_MASK2 = 0x0000D90003530000
 
 # --- large spec tables -------------------------------------------------------
-with open(os.path.join(os.path.dirname(__file__), "spec_tables.json")) as _f:
-    _TABLES = json.load(_f)
+# importlib.resources (not a filesystem path) so the package also loads from
+# a spark-submit --py-files zip on executors (scripts/make_pyfiles.py)
+_TABLES = json.loads(
+    resources.files("iscc_specs_spark.kernel")
+    .joinpath("spec_tables.json")
+    .read_text()
+)
 
 # 256 (a, b) pairs; only the first 64 are used for 64-bit codes
 MINHASH_PERMUTATIONS: list[tuple[int, int]] = [

@@ -86,21 +86,25 @@ def hyperplanes(dim: int, nbits: int = 16, seed: int = 7) -> list[list[float]]:
     return rng.randn(nbits, dim).astype("float64").tolist()
 
 
-def rhp_signature(vec_col, planes: list[list[float]]):
-    """Pack sign(v·h_i) bits into one LONG — native fold, no UDF."""
-    sig = F.lit(0).cast("long")
+def rhp_signature(vec: str, planes: list[list[float]]):
+    """Pack sign(v·h_i) bits into one LONG — native sequential fold, no UDF.
+
+    ``vec`` is the *name* of an array<double> column: the whole expression
+    is built as one SQL string (single py4j call, parsed once by Catalyst)
+    instead of thousands of individual ``F.lit`` Column objects — plan
+    *construction* dominated wall time for multi-table configs (nbits ×
+    ntables × dim literals each cost a py4j round trip).  Same operations
+    in the same order → bit-identical signatures.
+    """
+    terms = []
     for i, h in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(x) for x in h]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        lit = "array(" + ",".join(repr(float(x)) + "D" for x in h) + ")"
+        dot = (
+            f"aggregate(zip_with({vec}, {lit}, (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v)"
         )
-        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return sig
+        terms.append(f"IF({dot} >= 0, {1 << i}L, 0L)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
 def rhp_lsh_topk(
@@ -149,8 +153,8 @@ def rhp_lsh_topk(
     c_buckets, q_probes = [], []
     for t in range(ntables):
         planes = hyperplanes(dim, nbits, seed + 1000 * t)
-        csig = rhp_signature(F.col("vc"), planes)
-        qsig = rhp_signature(F.col("vq"), planes)
+        csig = rhp_signature("vc", planes)
+        qsig = rhp_signature("vq", planes)
         c_buckets.append(F.struct(F.lit(t).alias("t"), csig.alias("h")))
         probes = [qsig]
         if multiprobe_bits >= 1:

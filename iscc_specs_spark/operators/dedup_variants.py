@@ -222,7 +222,7 @@ def embedding_neardup_lsh(
     bucket_structs = [
         F.struct(
             F.lit(t).alias("t"),
-            rhp_signature(F.col("v"), hyperplanes(dim, nbits, seed + 1000 * t)).alias("h"),
+            rhp_signature("v", hyperplanes(dim, nbits, seed + 1000 * t)).alias("h"),
         )
         for t in range(ntables)
     ]

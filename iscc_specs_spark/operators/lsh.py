@@ -379,6 +379,7 @@ def dup_pairs(
     sim_max: int = SIMHASH_MAX_HAMMING,
     compute_jaccard: bool = True,
     materialize: bool = True,
+    slim: DataFrame | None = None,
 ) -> DataFrame:
     """codes → verified duplicate pairs (exact ∪ minhash-LSH ∪ simhash).
 
@@ -394,10 +395,15 @@ def dup_pairs(
     re-shuffles — the full-corpus tophash aggregation once per consumer
     (visible in explain as duplicated min_by subtrees). At warehouse scale
     this would instead be a written stage table (plans/dedup.py).
+
+    ``slim``: pass a precomputed (ideally already-materialized)
+    representative table to share it with other consumers (e.g. the
+    lsh_metrics pass in plans/dedup.py) instead of re-aggregating.
     """
-    slim = rep_codes(codes)
-    if materialize:
-        slim = slim.localCheckpoint(eager=True)
+    if slim is None:
+        slim = rep_codes(codes)
+        if materialize:
+            slim = slim.localCheckpoint(eager=True)
     vb = verified_bucket_pairs(slim, bands, rows, bucket_cap, cid_max, sim_max)
     small_ok = (
         vb.where(F.col("verified"))

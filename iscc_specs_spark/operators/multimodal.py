@@ -53,6 +53,17 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
+def fake_decode_image(payload: bytes, side: int = 32) -> "np.ndarray":
+    """Deterministic stand-in for decode+normalize: tile the payload bytes
+    into a ``side``×``side`` grayscale matrix.  Lets the *real* image-hash
+    kernel (kernel/images.py — DCT pHash, golden-vector conformant) run
+    distributed over binary asset columns while the codec itself is absent;
+    swapping in a real decoder is a one-function change."""
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    reps = -(-(side * side) // buf.size)  # ceil
+    return np.tile(buf, reps)[: side * side].reshape(side, side)
+
+
 def sample_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
     """Sample video frames every ``every_ms``. STUB (no video codec)."""
     raise NotImplementedError("video decoding unavailable in this environment")
@@ -113,6 +124,33 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     cols = [c for c in ("asset_id", "kind", "payload") if c in assets.columns]
     return assets.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def image_codes(assets: DataFrame) -> DataFrame:
+    """Content-ID-Image per image asset — the reference's image track
+    (iscc.py:81-96) run distributed: one Arrow-batched ``mapInPandas`` pass
+    decodes (stand-in: :func:`fake_decode_image`) and DCT-hashes each
+    payload with the conformant kernel (kernel/images.py).
+
+    Narrow map, no shuffle; returns (asset_id, image_cid, image_hash_hex).
+    """
+    from iscc_specs_spark.kernel.images import content_id_image, image_hash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [fake_decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "image_cid": [content_id_image(px) for px in pixels],
+                    "image_hash_hex": [image_hash(px).hex() for px in pixels],
+                }
+            )
+
+    imgs = assets.where(F.col("kind") == "image").select("asset_id", "payload")
+    return imgs.mapInPandas(
+        run, schema="asset_id long, image_cid string, image_hash_hex string"
+    )
 
 
 def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:

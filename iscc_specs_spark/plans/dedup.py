@@ -76,8 +76,10 @@ def run_dedup(
             # text-only run: no Instance-ID — disable the exact stage by
             # making every "group" the url itself
             codes = codes.withColumn("tophash", F.col("url"))
+        # one slim representative table feeds BOTH the metrics pass and
+        # dup_pairs (previously two independent full-corpus aggregations)
+        slim = lsh.rep_codes(codes).localCheckpoint(eager=True)
         if collect_lsh_metrics:
-            slim = lsh.rep_codes(codes)
             band_table = lsh.minhash_bands(slim, cfg.bands, cfg.rows).union(
                 lsh.simhash_bands(slim)
             )
@@ -87,7 +89,7 @@ def run_dedup(
         pairs = store.write(
             lsh.dup_pairs(
                 codes, cfg.bands, cfg.rows, cfg.bucket_cap, cfg.cid_max,
-                cfg.sim_max,
+                cfg.sim_max, slim=slim,
             ),
             "dup_pairs",
             metrics,

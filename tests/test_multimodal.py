@@ -42,3 +42,20 @@ def test_extract_features_schema_and_batching(spark):
         assert r["sha256"] == want["sha256"]
         assert r["n_bytes"] == want["n_bytes"]
         assert list(r["histogram"]) == want["histogram"]
+
+
+def test_image_codes_distributed_matches_local(spark):
+    """Distributed image track == local kernel per asset (Arrow parity)."""
+    import iscc_specs_spark.operators.multimodal as M
+    from iscc_specs_spark.kernel.images import content_id_image
+
+    assets = M.synthetic_assets(spark, n=24)
+    got = {r["asset_id"]: r for r in M.image_codes(assets).collect()}
+    local = {
+        r["asset_id"]: content_id_image(M.fake_decode_image(bytes(r["payload"])))
+        for r in assets.where("kind = 'image'").collect()
+    }
+    assert set(got) == set(local) and len(got) == 8  # every 3rd of 24
+    for aid, want in local.items():
+        assert got[aid]["image_cid"] == want
+        assert want.startswith("CY")  # HEAD_CID_I header chars
