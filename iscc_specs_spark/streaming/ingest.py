@@ -74,3 +74,109 @@ def start_codes_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_dedup_stream(
+    pages_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    tracks: tuple[str, ...] = ("text", "data"),
+    trigger_once: bool = True,
+    bucket_cap: int = 64,
+) -> StreamingQuery:
+    """Streaming near-dup flagging: each micro-batch's pages are coded and
+    LSH-matched against every previously ingested document, then appended to
+    the accumulated state — new duplicates are flagged as they arrive
+    instead of waiting for the next global batch job.
+
+    Per micro-batch (inside ``foreachBatch``, so plain batch DataFrames):
+
+      1. codes for the new pages (same Arrow-vectorized stage as batch);
+      2. within-batch dup pairs via the standard ``lsh.dup_pairs``;
+      3. batch-vs-history candidates: the *new* batch's band keys join the
+         historical band table — the new side is tiny, so Spark broadcasts
+         it and history streams through; verification is the same native
+         Hamming predicate.  (At warehouse scale the historical band table
+         is a maintained index bucketed by (band_id, band_hash) so this
+         probe prunes partitions instead of scanning.)
+      4. append codes to ``state_dir/codes`` and flags to
+         ``state_dir/dup_flags``, each into an ``ingest_batch=<id>``
+         partition with dynamic overwrite — a replayed batch overwrites
+         itself, so the stream stays exactly-once end-to-end.
+
+    Flags schema: (url, dup_of, src, ingest_batch) — ``dup_of`` is the
+    matched earlier url (within-batch matches point to the pair minimum).
+    """
+    from iscc_specs_spark.operators import lsh
+
+    codes_stream = compute_codes(pages_stream, tracks)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+
+        # within-batch pairs (standard path; url_a < url_b → flag url_b)
+        intra = lsh.dup_pairs(batch, bucket_cap=bucket_cap,
+                              compute_jaccard=False).select(
+            F.col("url_b").alias("url"), F.col("url_a").alias("dup_of"),
+            F.lit("intra_batch").alias("src"),
+        )
+
+        try:
+            hist = spark.read.parquet(f"{state_dir}/codes")
+        except Exception:
+            hist = None
+        if hist is not None and hist.head(1):
+            new_slim = lsh.rep_codes(batch)
+            hist_slim = hist.select(
+                "url", "cid_body", "simhash", "minhash", "tophash"
+            )
+            nb = lsh.minhash_bands(new_slim).union(lsh.simhash_bands(new_slim))
+            hb = lsh.minhash_bands(hist_slim).union(lsh.simhash_bands(hist_slim))
+            cand = (
+                hb.join(F.broadcast(nb.withColumnRenamed("url", "new_url")),
+                        ["band_id", "band_hash"])
+                .select(F.col("new_url").alias("url_a"),
+                        F.col("url").alias("url_b"),
+                        F.lit("lsh").alias("src"))
+                .dropDuplicates(["url_a", "url_b"])
+            )
+            both = new_slim.select(
+                F.col("url").alias("url_a"), F.col("cid_body").alias("cid_a"),
+                F.col("simhash").alias("sim_a"), F.col("tophash").alias("top_a"),
+            ).join(cand, "url_a").join(
+                hist_slim.select(
+                    F.col("url").alias("url_b"), F.col("cid_body").alias("cid_b"),
+                    F.col("simhash").alias("sim_b"), F.col("tophash").alias("top_b"),
+                ),
+                "url_b",
+            )
+            cross = both.where(
+                (lsh.hamming64(F.col("cid_a"), F.col("cid_b")) <= lsh.CID_T_MAX_HAMMING)
+                | (lsh.hamming64(F.col("sim_a"), F.col("sim_b")) <= lsh.SIMHASH_MAX_HAMMING)
+                | (F.col("top_a") == F.col("top_b"))
+            ).select(
+                F.col("url_a").alias("url"), F.col("url_b").alias("dup_of"),
+                F.lit("vs_history").alias("src"),
+            )
+            flags = intra.unionByName(cross)
+        else:
+            flags = intra
+
+        for df, sub in ((flags, "dup_flags"), (batch, "codes")):
+            (
+                df.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(f"{state_dir}/{sub}")
+            )
+
+    writer = (
+        codes_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -46,3 +46,48 @@ def test_streaming_codes_match_batch(spark, tmp_path):
     q2 = start_codes_stream(read_pages_stream(spark, src + "/all"), out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == 120
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Second micro-batch's near-dups of first-batch docs get flagged
+    vs_history; replay with the same checkpoint is idempotent."""
+    from iscc_specs_spark.streaming.ingest import start_incremental_dedup_stream
+
+    src = str(tmp_path / "pages_src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt2")
+
+    # block 0 of the generator plants a duplicate cluster at positions 0..k-1
+    pages = generate_pages(spark, 40, partitions=1).localCheckpoint(eager=True)
+    first = pages.where("url like '%/p/0'")         # cluster base doc
+    rest = pages.where("url not like '%/p/0'")      # includes its edit variants
+    os.makedirs(src)
+    first.coalesce(1).write.parquet(src + "/tmp1")
+    rest.coalesce(1).write.parquet(src + "/tmp2")
+    import shutil
+
+    for i, d in enumerate(("tmp1", "tmp2")):
+        for f in os.listdir(f"{src}/{d}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src}/{d}/{f}", f"{src}/b{i}.parquet")
+
+    q = start_incremental_dedup_stream(
+        read_pages_stream(spark, src, max_files_per_trigger=1), state, ckpt
+    )
+    q.awaitTermination(180)
+
+    codes = spark.read.parquet(state + "/codes")
+    assert codes.count() == 40
+    flags = spark.read.parquet(state + "/dup_flags")
+    hist_hits = {
+        (r["url"], r["dup_of"]) for r in flags.where("src = 'vs_history'").collect()
+    }
+    # the base doc arrived in batch 0; its variants in batch 1 must flag it
+    assert any(dup_of.endswith("/p/0") for _, dup_of in hist_hits), hist_hits
+
+    # replay: no new input → state unchanged (exactly-once)
+    n_flags = flags.count()
+    q2 = start_incremental_dedup_stream(read_pages_stream(spark, src), state, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(state + "/codes").count() == 40
+    assert spark.read.parquet(state + "/dup_flags").count() == n_flags
