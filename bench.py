@@ -90,7 +90,12 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = _time(lambda: _force(qs[name](spark, sf_dir)))
+        # min-of-2: the shared host shows ±2× swings on string-heavy
+        # queries run-to-run (same protocol as the scaling ladder)
+        times[name] = min(
+            _time(lambda: _force(qs[name](spark, sf_dir))),
+            _time(lambda: _force(qs[name](spark, sf_dir))),
+        )
 
     # end-to-end dedup pipeline (codes → pairs → clusters) timed as one job
     from iscc_specs_spark.operators import lsh
@@ -106,7 +111,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         pairs = lsh.dup_pairs(codes)
         _force(assign_clusters(codes.select("url"), pairs))
 
-    times["dedup_pipeline"] = _time(pipeline)
+    times["dedup_pipeline"] = min(_time(pipeline), _time(pipeline))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
     result = {

@@ -98,7 +98,10 @@ def ngram_jaccard_pairs(
     hottest shingle's document frequency; pass None only for exact-Jaccard
     verification over pre-filtered candidate sets.
     """
-    sh = word_shingles(docs, n)
+    # materialize the exploded shingle table once: sizes, the df-cap count,
+    # and both self-join sides consume it (4 consumers), and a lazy explode
+    # would re-run per consumer. At warehouse scale this is a staged table.
+    sh = word_shingles(docs, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if shingle_df_cap is not None:
         hot = (
