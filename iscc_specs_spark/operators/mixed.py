@@ -27,26 +27,14 @@ is one row per multi-member cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iscc_specs_spark.functions import base58_body as _base58_body
 from iscc_specs_spark.kernel.codec import encode
-from iscc_specs_spark.kernel.constants import HEAD_CID_M, HEAD_CID_T, SYMBOLS
+from iscc_specs_spark.kernel.constants import HEAD_CID_M, HEAD_CID_T
 
 _N_BITS = 56  # variable bits: top 7 bytes of the 8-byte cid body
-
-
-def _base58_body(colname: str) -> Column:
-    """11-char base58-iscc encoding of a non-negative LONG column
-    (kernel/codec.py:15-32 unrolled; values stay < 2^63 because the header
-    byte 0x10 keeps the digest below 0x11·2^56).  Integer ``div`` — a
-    float division would lose precision above 2^53."""
-    chars = [
-        f"substring('{SYMBOLS}', "
-        f"CAST(({colname} div {58**j}) % 58 AS INT) + 1, 1)"
-        for j in range(10, -1, -1)
-    ]
-    return F.expr("concat(" + ", ".join(chars) + ")")
 
 
 def cluster_mixed_cid(codes: DataFrame, clusters: DataFrame) -> DataFrame:
