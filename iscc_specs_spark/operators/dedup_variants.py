@@ -196,6 +196,7 @@ def embedding_neardup_lsh(
     ntables: int = 8,
     seed: int = 11,
     dim: int | None = None,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """LSH-gated embedding near-dup pairs — the scale path the brute-force
     verifier above gates at 100 TB.
@@ -211,6 +212,17 @@ def embedding_neardup_lsh(
     Candidate recall is 1 − (1 − p^nbits)^ntables with p = 1 − θ/π: the
     defaults give ≈0.998 for true near-dups (cosine ≥ 0.9); low-similarity
     pairs (≈0.4) are intentionally under-sampled — that is the pruning.
+
+    Skew guard (same standard as the ISCC track, operators/lsh.py:192-246):
+    a degenerate (t, h) bucket — a template farm of k near-identical
+    embeddings — would make the self-join O(k²·ntables). Buckets larger
+    than ``bucket_cap`` are therefore routed hub-and-spoke: the hot-key
+    list is tiny by construction (one row per mega-bucket) and broadcasts;
+    hot-bucket members are scored only against the bucket-min vector, O(k)
+    edges that preserve connectivity for clustering (farm members are
+    near-identical, so hub edges pass the threshold whenever member-member
+    edges would). Size ``nbits`` so typical buckets stay under the cap;
+    the cap is the guard for the skew tail, not the common case.
     """
     from iscc_specs_spark.operators.ann import hyperplanes, rhp_signature
 
@@ -232,15 +244,20 @@ def embedding_neardup_lsh(
     bucketed = e.select(
         "vec_id", "v", "nrm", F.explode(F.array(*bucket_structs)).alias("b")
     ).select("vec_id", "v", "nrm", F.col("b.t").alias("t"), F.col("b.h").alias("h"))
-    a = bucketed.select(
+
+    sizes = bucketed.groupBy("t", "h").agg(F.count("*").alias("bucket_n"))
+    hot_keys = sizes.where(F.col("bucket_n") > bucket_cap).select("t", "h")
+    cold = bucketed.join(F.broadcast(hot_keys), ["t", "h"], "left_anti")
+
+    a = cold.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "t", "h",
     )
-    b = bucketed.select(
+    b = cold.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"), "t", "h",
     )
-    return (
+    pairs_cold = (
         a.join(b, ["t", "h"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
@@ -250,6 +267,30 @@ def embedding_neardup_lsh(
                 dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
+    )
+
+    # hot buckets: one hub row per (t, h) via map-side-combinable min_by →
+    # broadcast back; the hot keys never hash-partition a shuffle with
+    # unbounded rows behind them.
+    hot = bucketed.join(F.broadcast(hot_keys), ["t", "h"], "left_semi")
+    hubs = hot.groupBy("t", "h").agg(
+        F.min_by(F.struct("vec_id", "v", "nrm"), F.col("vec_id")).alias("hub")
+    )
+    pairs_hot = (
+        hot.join(F.broadcast(hubs), ["t", "h"])
+        .where(F.col("vec_id") != F.col("hub.vec_id"))
+        .select(
+            F.least("vec_id", "hub.vec_id").alias("vec_a"),
+            F.greatest("vec_id", "hub.vec_id").alias("vec_b"),
+            F.round(
+                dot_expr(F.col("v"), F.col("hub.v"))
+                / (F.col("nrm") * F.col("hub.nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+
+    return (
+        pairs_cold.unionByName(pairs_hot)
         .dropDuplicates(["vec_a", "vec_b"])
         .where(F.col("cosine") >= threshold)
     )

@@ -330,8 +330,11 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 def embedding_neardup_lsh_sql(
     dim: int = 64, threshold: float = 0.4, nbits: int = 4, ntables: int = 8,
-    seed: int = 11,
+    seed: int = 11, bucket_cap: int = 1000,
 ) -> str:
+    """Twin of operators/dedup_variants.py:embedding_neardup_lsh including
+    the hot-bucket hub-and-spoke skew guard: buckets with > bucket_cap
+    members contribute only (member, bucket-min-vec_id) edges."""
     from iscc_specs_spark.operators.ann import hyperplanes
 
     sig_cols = ", ".join(
@@ -347,11 +350,39 @@ base AS (
 ),
 bk AS (SELECT vec_id, v, nrm, unnest([{structs}]) AS b FROM base),
 buckets AS (SELECT vec_id, v, nrm, b.t AS t, b.h AS h FROM bk),
-cand AS (
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+hot_keys AS (
+    SELECT t, h FROM buckets GROUP BY t, h HAVING count(*) > {bucket_cap}
+),
+cold AS (
+    SELECT * FROM buckets c
+    WHERE NOT EXISTS (SELECT 1 FROM hot_keys k WHERE k.t = c.t AND k.h = c.h)
+),
+cand_cold AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-    FROM buckets a JOIN buckets b USING (t, h)
+    FROM cold a JOIN cold b USING (t, h)
     WHERE a.vec_id < b.vec_id
+),
+hot AS (
+    SELECT * FROM buckets c
+    WHERE EXISTS (SELECT 1 FROM hot_keys k WHERE k.t = c.t AND k.h = c.h)
+),
+hubs AS (
+    SELECT t, h, min(vec_id) AS hub_id FROM hot GROUP BY t, h
+),
+cand_hot AS (
+    SELECT least(m.vec_id, hv.vec_id) AS vec_a,
+           greatest(m.vec_id, hv.vec_id) AS vec_b,
+           round(list_dot_product(m.v, hv.v) / (m.nrm * hv.nrm), 6) AS cosine
+    FROM hot m
+    JOIN hubs u ON u.t = m.t AND u.h = m.h
+    JOIN hot hv ON hv.t = u.t AND hv.h = u.h AND hv.vec_id = u.hub_id
+    WHERE m.vec_id <> u.hub_id
+),
+cand AS (
+    SELECT DISTINCT vec_a, vec_b, cosine FROM (
+        SELECT * FROM cand_cold UNION ALL SELECT * FROM cand_hot
+    )
 )
 SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {threshold}
 """
