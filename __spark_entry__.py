@@ -132,8 +132,7 @@ def _q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators import lsh
 
     codes = _codes(spark, sf_dir)
-    reps = lsh.exact_rep_table(codes)
-    slim = lsh.rep_codes(codes, reps)
+    slim = lsh.rep_codes(codes)
     bands = lsh.minhash_bands(slim).union(lsh.simhash_bands(slim))
     return (
         bands.groupBy("band_id", "band_hash")

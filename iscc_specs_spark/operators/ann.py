@@ -133,13 +133,15 @@ def rhp_lsh_topk(
     which never shuffles (re-rank joins fetch it via the bucket join).
     """
     if dim is None:
-        # prefer the schema (free); fall back to a one-row peek only for
-        # untyped inputs — pass dim explicitly in production plans.
-        elem = emb.schema["embedding"].dataType
-        row = emb.select(F.size("embedding").alias("d")).first()
-        if row is None:
-            raise ValueError(f"cannot infer dim from empty embeddings ({elem})")
-        dim = int(row["d"])
+        # Spark's ArrayType carries no length, so inferring dim would need a
+        # plan-time job ( .first() ) — a hidden scan before the real plan
+        # even builds. Require it instead; callers always know their
+        # embedding dimensionality.
+        raise ValueError(
+            "rhp_lsh_topk requires dim (embedding dimensionality): "
+            "ArrayType has no static length and inferring it would run a "
+            "plan-time job"
+        )
     corpus = (
         _as_double(emb, "vc")
         .withColumnRenamed("vec_id", "neighbor_id")

@@ -230,10 +230,11 @@ def embedding_neardup_lsh(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
     if dim is None:
-        row = e.select(F.size("v").alias("d")).first()
-        if row is None:
-            raise ValueError("cannot infer dim from empty embeddings")
-        dim = int(row["d"])
+        # ArrayType has no static length; inferring dim would run a
+        # plan-time job (same contract as ann.rhp_lsh_topk)
+        raise ValueError(
+            "embedding_neardup_lsh requires dim (embedding dimensionality)"
+        )
     bucket_structs = [
         F.struct(
             F.lit(t).alias("t"),

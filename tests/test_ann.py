@@ -62,7 +62,7 @@ def test_rhp_lsh_recall(emb):
     qdf = df.where(df.vec_id.isin(qids))
     exact = ann.brute_force_topk(df, qdf, k=5).collect()
     approx = ann.rhp_lsh_topk(
-        df, qdf, k=5, nbits=8, ntables=8, multiprobe_bits=1
+        df, qdf, k=5, nbits=8, ntables=8, multiprobe_bits=1, dim=16
     ).collect()
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
@@ -72,6 +72,12 @@ def test_rhp_lsh_recall(emb):
 
 def test_rhp_signature_deterministic(emb):
     df, _ = emb
-    a = ann.rhp_lsh_topk(df, df.where(df.vec_id < 2), k=3).collect()
-    b = ann.rhp_lsh_topk(df, df.where(df.vec_id < 2), k=3).collect()
+    a = ann.rhp_lsh_topk(df, df.where(df.vec_id < 2), k=3, dim=16).collect()
+    b = ann.rhp_lsh_topk(df, df.where(df.vec_id < 2), k=3, dim=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_rhp_lsh_requires_dim(emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="dim"):
+        ann.rhp_lsh_topk(df, df.where(df.vec_id < 2), k=3)
