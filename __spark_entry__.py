@@ -337,6 +337,37 @@ def _q_user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-batch replay of the incremental streaming dedup:
+    batch 0 (even trailing doc ids) → batch 1 (odd) → batch 1 AGAIN (the
+    failure-before-checkpoint-commit retry), then the accumulated
+    ``dup_flags`` state. The DuckDB twin recomputes every flag from the
+    staged ``codes`` state table — replay non-idempotence (e.g. docs
+    matching their own earlier write) would hash-mismatch."""
+    import shutil
+
+    from iscc_specs_spark.streaming.ingest import process_dedup_batch
+
+    state = os.path.join(_stage_dir(sf_dir), "stream_state")
+    key = (sf_dir, "stream_state")
+    if key not in _staged:
+        shutil.rmtree(state, ignore_errors=True)
+        codes = _codes(spark, sf_dir)
+        parity = F.pmod(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long"), F.lit(2)
+        )
+        b0 = codes.where(parity == 0)
+        b1 = codes.where(parity == 1)
+        process_dedup_batch(b0, 0, state)
+        process_dedup_batch(b1, 1, state)
+        process_dedup_batch(b1, 1, state)  # replay must be a no-op
+        _staged.add(key)
+    return spark.read.parquet(f"{state}/dup_flags").select(
+        "url", "dup_of", "src",
+        F.col("ingest_batch").cast("long").alias("ingest_batch"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ISCC pipeline (kernel-backed; oracled via staged codes parquet)
@@ -348,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_matches": _q_substring_matches,
         "multimodal_features": _q_multimodal_features,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "streaming_dedup": _q_streaming_dedup,
         # SQL-oracled operators
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -429,6 +461,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_neardup_lsh": _o.embedding_neardup_lsh_sql(
             dim=_EMB_DIM, threshold=0.4, nbits=4, ntables=8
+        ),
+        "streaming_dedup": _o.streaming_dedup_sql(
+            f"{stage}/stream_state/codes/*/*.parquet"
         ),
     }
     lang_hits = ", ".join(

@@ -54,11 +54,10 @@ def base58_body_sql(expr: str) -> str:
     return " || ".join(chars)
 
 
-def bands_cte(codes_rel: str = "codes", bands: int = 16, rows: int = 4,
-              subkeys: int = 4) -> str:
-    """CTEs ``slim`` (one representative per tophash) and ``bandrows``
-    (url, band_id, band_key) mirroring operators/lsh.py banding, with raw
-    value tuples as band keys."""
+def band_structs_sql(bands: int = 16, rows: int = 4, subkeys: int = 4) -> list[str]:
+    """Raw-value band-key struct literals mirroring operators/lsh.py banding
+    (minhash LSH bands + simhash sub-key bands; requires a ``usim`` unsigned
+    simhash column in scope)."""
     structs = []
     for i in range(bands):
         lo, hi = i * rows + 1, (i + 1) * rows
@@ -74,6 +73,15 @@ def bands_cte(codes_rel: str = "codes", bands: int = 16, rows: int = 4,
             f"{{'band_id': {1000 + i}, "
             f"'band_key': CAST((usim // {div}::HUGEINT) % {mask + 1} AS VARCHAR)}}"
         )
+    return structs
+
+
+def bands_cte(codes_rel: str = "codes", bands: int = 16, rows: int = 4,
+              subkeys: int = 4) -> str:
+    """CTEs ``slim`` (one representative per tophash) and ``bandrows``
+    (url, band_id, band_key) mirroring operators/lsh.py banding, with raw
+    value tuples as band keys."""
+    structs = band_structs_sql(bands, rows, subkeys)
     return f"""
 slim AS (
     SELECT url, cid_body, simhash, minhash, tophash
@@ -450,4 +458,108 @@ SELECT a.asset_id, a.kind, CAST(a.n AS BIGINT) AS n_bytes,
        sha256(a.hx) AS payload_fp,
        round(ent.entropy, 6) AS byte_entropy
 FROM a JOIN ent USING (asset_id)
+"""
+
+
+def streaming_dedup_sql(
+    state_codes_glob: str, bucket_cap: int = 64,
+    cid_max: int = 10, sim_max: int = 3,
+) -> str:
+    """Twin of the incremental streaming dedup state
+    (streaming/ingest.py:process_dedup_batch) recomputed from the staged
+    ``state_dir/codes`` table (partition column ``ingest_batch``).
+
+    Per batch: intra flags = lsh.dup_pairs within the batch (cold C(k,2) +
+    hot hub-and-spoke + exact tophash pairs, flag url_b); cross flags = the
+    batch's per-tophash representatives band-joined against ALL rows of
+    strictly earlier batches, Hamming/tophash-verified, flag the new url.
+    The Spark query replays the last batch before reading the state, so any
+    replay non-idempotence (e.g. self-matches against the batch's own prior
+    write) shows up as a hash mismatch against this twin."""
+    structs = ", ".join(band_structs_sql())
+    return f"""
+WITH codes AS (
+    SELECT * REPLACE (CAST(ingest_batch AS BIGINT) AS ingest_batch)
+    FROM read_parquet('{state_codes_glob}', hive_partitioning = 1)
+),
+slim AS (
+    SELECT ingest_batch, url, cid_body, simhash, minhash, tophash
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY ingest_batch, tophash ORDER BY url) AS rn
+          FROM codes)
+    WHERE rn = 1
+),
+susim AS (SELECT *, {unsigned64('simhash')} AS usim FROM slim),
+sb AS (SELECT ingest_batch, url, unnest([{structs}]) AS b FROM susim),
+sbands AS (SELECT ingest_batch, url, b.band_id AS band_id,
+                  b.band_key AS band_key FROM sb),
+sized AS (SELECT ingest_batch, band_id, band_key, count(*) AS n
+          FROM sbands GROUP BY 1, 2, 3),
+cold AS (
+    SELECT b.ingest_batch, b.url, b.band_id, b.band_key
+    FROM sbands b JOIN sized s USING (ingest_batch, band_id, band_key)
+    WHERE s.n BETWEEN 2 AND {bucket_cap}
+),
+cand_cold AS (
+    SELECT DISTINCT a.ingest_batch, least(a.url, b.url) AS url_a,
+           greatest(a.url, b.url) AS url_b
+    FROM cold a JOIN cold b USING (ingest_batch, band_id, band_key)
+    WHERE a.url < b.url
+),
+hotrows AS (
+    SELECT b.ingest_batch, b.url, b.band_id, b.band_key
+    FROM sbands b JOIN sized s USING (ingest_batch, band_id, band_key)
+    WHERE s.n > {bucket_cap}
+),
+hubs AS (SELECT ingest_batch, band_id, band_key, min(url) AS hub
+         FROM hotrows GROUP BY 1, 2, 3),
+cand_hot AS (
+    SELECT DISTINCT ingest_batch, hub AS url_a, url AS url_b
+    FROM hotrows JOIN hubs USING (ingest_batch, band_id, band_key)
+    WHERE url <> hub
+),
+allcand AS (SELECT * FROM cand_cold UNION SELECT * FROM cand_hot),
+verified AS (
+    SELECT DISTINCT c.ingest_batch, c.url_a, c.url_b
+    FROM allcand c
+    JOIN slim a ON c.ingest_batch = a.ingest_batch AND c.url_a = a.url
+    JOIN slim b ON c.ingest_batch = b.ingest_batch AND c.url_b = b.url
+    WHERE bit_count(xor(a.cid_body, b.cid_body)) <= {cid_max}
+       OR bit_count(xor(a.simhash, b.simhash)) <= {sim_max}
+       OR a.tophash = b.tophash
+),
+reps AS (SELECT ingest_batch, tophash, min(url) AS rep
+         FROM codes GROUP BY 1, 2),
+exact AS (
+    SELECT c.ingest_batch, r.rep AS url_a, c.url AS url_b
+    FROM codes c JOIN reps r USING (ingest_batch, tophash)
+    WHERE c.url <> r.rep
+),
+intra_flags AS (
+    SELECT url_b AS url, url_a AS dup_of, 'intra_batch' AS src, ingest_batch
+    FROM (SELECT * FROM verified UNION ALL SELECT * FROM exact)
+),
+husim AS (SELECT *, {unsigned64('simhash')} AS usim FROM codes),
+hb AS (SELECT ingest_batch, url, unnest([{structs}]) AS b FROM husim),
+hbands AS (SELECT ingest_batch, url, b.band_id AS band_id,
+                  b.band_key AS band_key FROM hb),
+cross_cand AS (
+    SELECT DISTINCT n.ingest_batch, n.url AS url_a, h.url AS url_b
+    FROM sbands n JOIN hbands h USING (band_id, band_key)
+    WHERE h.ingest_batch < n.ingest_batch
+),
+cross_flags AS (
+    SELECT c.url_a AS url, c.url_b AS dup_of, 'vs_history' AS src,
+           c.ingest_batch
+    FROM cross_cand c
+    JOIN slim a ON c.ingest_batch = a.ingest_batch AND c.url_a = a.url
+    JOIN codes b ON c.url_b = b.url
+    WHERE c.url_a <> c.url_b
+      AND (bit_count(xor(a.cid_body, b.cid_body)) <= {cid_max}
+           OR bit_count(xor(a.simhash, b.simhash)) <= {sim_max}
+           OR a.tophash = b.tophash)
+)
+SELECT url, dup_of, src, ingest_batch FROM intra_flags
+UNION ALL
+SELECT url, dup_of, src, ingest_batch FROM cross_flags
 """

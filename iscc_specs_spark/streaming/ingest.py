@@ -107,70 +107,10 @@ def start_incremental_dedup_stream(
     Flags schema: (url, dup_of, src, ingest_batch) — ``dup_of`` is the
     matched earlier url (within-batch matches point to the pair minimum).
     """
-    from iscc_specs_spark.operators import lsh
-
     codes_stream = compute_codes(pages_stream, tracks)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)
-
-        # within-batch pairs (standard path; url_a < url_b → flag url_b)
-        intra = lsh.dup_pairs(batch, bucket_cap=bucket_cap,
-                              compute_jaccard=False).select(
-            F.col("url_b").alias("url"), F.col("url_a").alias("dup_of"),
-            F.lit("intra_batch").alias("src"),
-        )
-
-        try:
-            hist = spark.read.parquet(f"{state_dir}/codes")
-        except Exception:
-            hist = None
-        if hist is not None and hist.head(1):
-            new_slim = lsh.rep_codes(batch)
-            hist_slim = hist.select(
-                "url", "cid_body", "simhash", "minhash", "tophash"
-            )
-            nb = lsh.minhash_bands(new_slim).union(lsh.simhash_bands(new_slim))
-            hb = lsh.minhash_bands(hist_slim).union(lsh.simhash_bands(hist_slim))
-            cand = (
-                hb.join(F.broadcast(nb.withColumnRenamed("url", "new_url")),
-                        ["band_id", "band_hash"])
-                .select(F.col("new_url").alias("url_a"),
-                        F.col("url").alias("url_b"),
-                        F.lit("lsh").alias("src"))
-                .dropDuplicates(["url_a", "url_b"])
-            )
-            both = new_slim.select(
-                F.col("url").alias("url_a"), F.col("cid_body").alias("cid_a"),
-                F.col("simhash").alias("sim_a"), F.col("tophash").alias("top_a"),
-            ).join(cand, "url_a").join(
-                hist_slim.select(
-                    F.col("url").alias("url_b"), F.col("cid_body").alias("cid_b"),
-                    F.col("simhash").alias("sim_b"), F.col("tophash").alias("top_b"),
-                ),
-                "url_b",
-            )
-            cross = both.where(
-                (lsh.hamming64(F.col("cid_a"), F.col("cid_b")) <= lsh.CID_T_MAX_HAMMING)
-                | (lsh.hamming64(F.col("sim_a"), F.col("sim_b")) <= lsh.SIMHASH_MAX_HAMMING)
-                | (F.col("top_a") == F.col("top_b"))
-            ).select(
-                F.col("url_a").alias("url"), F.col("url_b").alias("dup_of"),
-                F.lit("vs_history").alias("src"),
-            )
-            flags = intra.unionByName(cross)
-        else:
-            flags = intra
-
-        for df, sub in ((flags, "dup_flags"), (batch, "codes")):
-            (
-                df.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(f"{state_dir}/{sub}")
-            )
+        process_dedup_batch(batch_df, batch_id, state_dir, bucket_cap)
 
     writer = (
         codes_stream.writeStream.outputMode("append")
@@ -180,3 +120,102 @@ def start_incremental_dedup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _read_history(spark: SparkSession, path: str) -> DataFrame | None:
+    """History codes table, or None iff the path does not exist yet (first
+    batch). Any other failure — corrupt files, permissions, transient FS
+    faults — propagates and fails the stream rather than silently skipping
+    vs-history flagging for the batch."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def process_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    bucket_cap: int = 64,
+) -> None:
+    """One micro-batch of the incremental dedup stream (the ``foreachBatch``
+    body, exposed at module level so replay semantics are testable and the
+    driver contract can run a deterministic two-batch replay).
+
+    Idempotent under replay: history is filtered to ``ingest_batch <
+    batch_id`` — when a batch is retried after a failure between the state
+    write and the checkpoint commit, its own previously-written partition is
+    excluded, so documents never match their own earlier write (which would
+    flag every doc as a hamming-0 dup of itself). ``ingest_batch`` is the
+    partition column, so the filter is partition pruning, not a scan.
+    """
+    from iscc_specs_spark.operators import lsh
+
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint(eager=True)
+
+    # within-batch pairs (standard path; url_a < url_b → flag url_b)
+    intra = lsh.dup_pairs(batch, bucket_cap=bucket_cap,
+                          compute_jaccard=False).select(
+        F.col("url_b").alias("url"), F.col("url_a").alias("dup_of"),
+        F.lit("intra_batch").alias("src"),
+    )
+
+    hist = _read_history(spark, f"{state_dir}/codes")
+    if hist is not None:
+        # exclude this batch's own partition: a replayed batch must not
+        # match against its own prior (uncommitted) write
+        hist = hist.where(F.col("ingest_batch") < F.lit(batch_id))
+    if hist is not None and hist.head(1):
+        new_slim = lsh.rep_codes(batch)
+        hist_slim = hist.select(
+            "url", "cid_body", "simhash", "minhash", "tophash"
+        )
+        nb = lsh.minhash_bands(new_slim).union(lsh.simhash_bands(new_slim))
+        hb = lsh.minhash_bands(hist_slim).union(lsh.simhash_bands(hist_slim))
+        cand = (
+            hb.join(F.broadcast(nb.withColumnRenamed("url", "new_url")),
+                    ["band_id", "band_hash"])
+            .select(F.col("new_url").alias("url_a"),
+                    F.col("url").alias("url_b"),
+                    F.lit("lsh").alias("src"))
+            .dropDuplicates(["url_a", "url_b"])
+        )
+        both = new_slim.select(
+            F.col("url").alias("url_a"), F.col("cid_body").alias("cid_a"),
+            F.col("simhash").alias("sim_a"), F.col("tophash").alias("top_a"),
+        ).join(cand, "url_a").join(
+            hist_slim.select(
+                F.col("url").alias("url_b"), F.col("cid_body").alias("cid_b"),
+                F.col("simhash").alias("sim_b"), F.col("tophash").alias("top_b"),
+            ),
+            "url_b",
+        )
+        cross = both.where(
+            (F.col("url_a") != F.col("url_b"))  # re-crawled url ≠ dup of self
+            & (
+                (lsh.hamming64(F.col("cid_a"), F.col("cid_b")) <= lsh.CID_T_MAX_HAMMING)
+                | (lsh.hamming64(F.col("sim_a"), F.col("sim_b")) <= lsh.SIMHASH_MAX_HAMMING)
+                | (F.col("top_a") == F.col("top_b"))
+            )
+        ).select(
+            F.col("url_a").alias("url"), F.col("url_b").alias("dup_of"),
+            F.lit("vs_history").alias("src"),
+        )
+        flags = intra.unionByName(cross)
+    else:
+        flags = intra
+
+    for df, sub in ((flags, "dup_flags"), (batch, "codes")):
+        (
+            df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(f"{state_dir}/{sub}")
+        )

@@ -91,3 +91,33 @@ def test_incremental_dedup_stream(spark, tmp_path):
     q2.awaitTermination(60)
     assert spark.read.parquet(state + "/codes").count() == 40
     assert spark.read.parquet(state + "/dup_flags").count() == n_flags
+
+
+def test_pending_batch_replay_is_idempotent(spark, tmp_path):
+    """A batch retried after failure-between-state-write-and-checkpoint-commit
+    (its own partition already on disk) must produce byte-identical flags —
+    in particular no hamming-0 self-matches against its own prior write."""
+    from iscc_specs_spark.streaming.ingest import process_dedup_batch
+
+    state = str(tmp_path / "state_replay")
+    pages = generate_pages(spark, 40, partitions=2)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    b0 = codes.where("url like '%/p/0'")
+    b1 = codes.where("url not like '%/p/0'")
+
+    process_dedup_batch(b0, 0, state)
+    process_dedup_batch(b1, 1, state)
+
+    def snap():
+        return sorted(
+            map(tuple, spark.read.parquet(state + "/dup_flags").collect())
+        )
+
+    clean = snap()
+    assert any(r[2] == "vs_history" for r in clean), "fixture must cross-match"
+
+    # replay batch 1: state_dir/codes already holds ingest_batch=1
+    process_dedup_batch(b1, 1, state)
+    replayed = snap()
+    assert replayed == clean
+    assert not any(url == dup_of for url, dup_of, _, _ in replayed)
