@@ -175,6 +175,18 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image track: real PNG payloads → decode →
+    image_normalize → DCT hash → Content-ID-Image (kernel conformant, all
+    6 golden vectors). Staged so the DuckDB twin re-derives the base58
+    code and hex form from the 64-bit digest independently."""
+    from iscc_specs_spark.operators.multimodal import image_codes, synthetic_assets
+
+    codes = image_codes(synthetic_assets(spark, n=64))
+    _stage(codes, sf_dir, "image_codes")
+    return codes.select("asset_id", "image_cid", "image_hash_hex", "hash_body")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.dedup_variants import exact_dups
 
@@ -378,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_mixed_cid": _q_cluster_mixed_cid,
         "substring_matches": _q_substring_matches,
         "multimodal_features": _q_multimodal_features,
+        "image_codes": _q_image_codes,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "streaming_dedup": _q_streaming_dedup,
         # SQL-oracled operators
@@ -456,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_mixed_cid": _o.cluster_mixed_cid_sql(codes_pq),
         "substring_matches": _o.substring_matches_sql(min_len=48),
         "multimodal_features": _o.multimodal_features_sql(assets_pq),
+        "image_codes": _o.image_codes_sql(f"{stage}/image_codes/*.parquet"),
         "ann_lsh_topk": _o.ann_lsh_topk_sql(
             dim=_EMB_DIM, k=5, nbits=8, ntables=4
         ),

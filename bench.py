@@ -211,9 +211,24 @@ def run_scaling(n_docs: int) -> None:
         )
         for n in (4, 8)
     }
+    # same-session host-ceiling control: the pure-NumPy kernel under plain
+    # multiprocessing bounds what ANY job can scale to on this shared box;
+    # the pipeline/ceiling ratio characterizes the top rung honestly.
+    ceil_out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "host_ceiling.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    ceiling = json.loads(ceil_out.stdout.strip().splitlines()[-1])
+    ceil_eff = ceiling["host_ceiling_efficiency"]
+    vs_ceiling = {
+        rung: round(eff[rung] / ceil_eff[rung], 3) if ceil_eff[rung] else None
+        for rung in ("4_to_16", "8_to_32")
+    }
     report = {
         "runs": results,
         "scaling_efficiency": eff,
+        "host_ceiling_efficiency": ceil_eff,
+        "pipeline_vs_ceiling": vs_ceiling,
         "target": 0.8,
         "pass": eff["4_to_16"] >= 0.8,
     }
@@ -238,6 +253,14 @@ def run_scaling(n_docs: int) -> None:
             f"**Scaling efficiency 4→16 cores (N→4N): {eff['4_to_16']}**"
             f" (target ≥ 0.8 → {'PASS' if eff['4_to_16'] >= 0.8 else 'FAIL'});"
             f" 8→32 cores: {eff['8_to_32']}.\n\n"
+            "**Relative to the same-session host ceiling** (pure-NumPy"
+            " kernel, plain multiprocessing, zero Spark — the box's own"
+            f" limit): ceiling 4→16 = {ceil_eff['4_to_16']}, 8→32 ="
+            f" {ceil_eff['8_to_32']}; pipeline/ceiling ratio 4→16 ="
+            f" **{vs_ceiling['4_to_16']}**, 8→32 ="
+            f" **{vs_ceiling['8_to_32']}** — the top rung is bounded by the"
+            " shared VM's memory bandwidth, and the pipeline captures this"
+            " fraction of whatever the box gives.\n\n"
             "**Efficiency vs input size** (same job, same protocol — the gap"
             " to 1.0 is a fixed per-job latency term, so efficiency rises"
             " with input size): 0.653 at 50 k docs → 0.686 at 50 k after"
@@ -245,12 +268,14 @@ def run_scaling(n_docs: int) -> None:
             f" **{eff['4_to_16']} at {n_docs // 1000} k** (this run).\n\n"
             "## Controls (what bounds the measurement)\n\n"
             "1. **Host ceiling, kernel only, zero Spark**"
-            " (`python scripts/host_ceiling.py`): the pure NumPy ISCC kernel"
-            " under plain multiprocessing scales 4→16 procs at **0.978** but"
-            " 8→32 at only **0.805** — the top rung measures the shared VM's"
-            " memory-bandwidth/steal ceiling, not any property of the"
-            " pipeline. That is why 4→16 is the meaningful N→4N rung on"
-            " this box.\n"
+            " (`python scripts/host_ceiling.py`, run in the same session as"
+            " the ladder): the pure NumPy ISCC kernel under plain"
+            f" multiprocessing scales 4→16 procs at **{ceil_eff['4_to_16']}**"
+            f" but 8→32 at only **{ceil_eff['8_to_32']}** — the top rung"
+            " measures the shared VM's memory-bandwidth/steal ceiling, not"
+            " any property of the pipeline. That is why 4→16 is the"
+            " meaningful N→4N rung on this box, and why the 8→32 rung is"
+            " reported as a pipeline/ceiling ratio.\n"
             "2. **Codegen stage alone in Spark** (the throughput-defining"
             " stage): local[4] 217 s → local[16] 57.9 s on the same input ="
             " **stage efficiency 0.94** — the Arrow/mapInPandas layer adds"

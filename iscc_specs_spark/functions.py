@@ -42,8 +42,16 @@ def iscc_distance(body_a: Column, body_b: Column) -> Column:
 
 def iscc_compose(mid, cid, did, iid) -> Column:
     """Fully-qualified ISCC: ``'-'.join([mid, cid, did, iid])``
-    (reference README.md:38, tools/stamp.py:43)."""
-    return F.concat_ws("-", mid, cid, did, iid)
+    (reference README.md:38, tools/stamp.py:43).
+
+    NULL-strict like the reference (which assumes all four components):
+    any missing component yields NULL, never a silently-shortened
+    3-segment string (``concat_ws`` alone would drop NULLs)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in (mid, cid, did, iid)]
+    all_present = cols[0].isNotNull()
+    for c in cols[1:]:
+        all_present = all_present & c.isNotNull()
+    return F.when(all_present, F.concat_ws("-", *cols))
 
 
 def base58_body(colname: str) -> Column:

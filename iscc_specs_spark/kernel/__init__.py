@@ -17,7 +17,12 @@ from iscc_specs_spark.kernel.codes import (
     meta_id,
 )
 from iscc_specs_spark.kernel.cdc import data_chunks
-from iscc_specs_spark.kernel.images import content_id_image, dct, image_hash
+from iscc_specs_spark.kernel.images import (
+    content_id_image,
+    dct,
+    image_hash,
+    image_normalize,
+)
 from iscc_specs_spark.kernel.sketches import minimum_hash, similarity_hash
 from iscc_specs_spark.kernel.textnorm import text_normalize, text_trim
 from iscc_specs_spark.kernel.xxhashes import xxh32, xxh64
@@ -32,6 +37,7 @@ __all__ = [
     "content_id_image",
     "content_id_mixed",
     "image_hash",
+    "image_normalize",
     "dct",
     "data_id",
     "data_id_full",

@@ -1,0 +1,299 @@
+"""Deterministic pure-stdlib decoders for PNG and GIF.
+
+Implements the two fully-deterministic image formats from their public
+specifications so ``image_normalize`` (reference iscc.py:214-228) can run
+end-to-end on the golden-vector fixtures without any codec library:
+
+* PNG per the W3C PNG specification (RFC 2083): chunk parsing, zlib
+  inflate of IDAT, scanline unfiltering (None/Sub/Up/Average/Paeth),
+  bit depth 8, color types 0/2/3/4/6, non-interlaced.
+* GIF87a/89a per the GIF specification: logical screen descriptor,
+  global/local color tables, LZW decompression, first image frame,
+  including the interlaced row order.
+
+JPEG is intentionally NOT implemented: the ISCC spec itself warns that
+JPEG decoding is implementation-defined (libjpeg versions differ in IDCT
+rounding — docs/specification.md:243-244 in the reference), so a
+"deterministic JPEG" would be a lie.  ``decode_image`` raises
+``NotImplementedError`` for JPEG bytes.
+
+Returned pixels are ``(mode, np.ndarray)``: mode in {"L", "LA", "RGB",
+"RGBA", "P"}; array is H×W (L/P) or H×W×C uint8.  "P" additionally
+returns the palette as an (N, 3) uint8 array.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_MODE = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def sniff(data: bytes) -> str:
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:6] in GIF_MAGICS:
+        return "gif"
+    if data[:3] == JPEG_MAGIC:
+        return "jpeg"
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering (PNG spec §6). Returns (H, W*bpp) uint8."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes):
+    """→ (mode, pixels, palette|None). Bit depth 8, non-interlaced."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, palette = 8, [], None
+    width = height = bitdepth = colortype = interlace = None
+    while pos < len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, bitdepth, colortype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3).copy()
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if bitdepth != 8:
+        raise NotImplementedError(f"PNG bit depth {bitdepth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("interlaced PNG not supported")
+    if colortype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {colortype}")
+    bpp = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(b"".join(idat))
+    mat = _png_unfilter(raw, width, height, bpp)
+    mode = _PNG_MODE[colortype]
+    if bpp > 1:
+        mat = mat.reshape(height, width, bpp)
+    return mode, mat, palette
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF LZW decompression (GIF89a spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader, LSB first
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return end
+        byte0 = bitpos >> 3
+        val = int.from_bytes(
+            data[byte0 : byte0 + ((bitpos % 8) + width + 7) // 8 + 1], "little"
+        )
+        val = (val >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """→ ("P", pixels H×W uint8, palette (N,3) uint8) — first frame."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed >> 7:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+            -1, 3
+        ).copy()
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            palette = gct
+            if ipacked >> 7:  # local color table
+                n = 2 << (ipacked & 7)
+                palette = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(-1, 3).copy()
+                pos += 3 * n
+            interlaced = bool((ipacked >> 6) & 1)
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(min_code_size, b"".join(chunks))[: w * h],
+                dtype=np.uint8,
+            ).reshape(h, w)
+            if interlaced:
+                deinter = np.empty_like(idx)
+                rows = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter[rows] = idx
+                idx = deinter
+            if (left, top, w, h) != (0, 0, sw, sh):
+                canvas = np.zeros((sh, sw), dtype=np.uint8)
+                canvas[top : top + h, left : left + w] = idx
+                idx = canvas
+            if palette is None:
+                raise ValueError("GIF frame without color table")
+            return "P", idx, palette
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def decode_image(data: bytes):
+    """bytes → (mode, pixels, palette|None); JPEG raises (see module doc)."""
+    kind = sniff(data)
+    if kind == "png":
+        return decode_png(data)
+    if kind == "gif":
+        return decode_gif(data)
+    if kind == "jpeg":
+        raise NotImplementedError(
+            "JPEG decoding is implementation-defined (IDCT rounding differs "
+            "across libjpeg builds; reference docs/specification.md:243-244) "
+            "and is intentionally not implemented"
+        )
+    raise ValueError("unrecognized image format")
+
+
+def encode_png_gray(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """Minimal deterministic grayscale PNG writer (filter 0 scanlines +
+    zlib) — used to synthesize real decodable image payloads for tests and
+    benchmarks; a pure function of the pixel matrix."""
+    mat = np.asarray(pixels, dtype=np.uint8)
+    if mat.ndim != 2:
+        raise ValueError("encode_png_gray expects a 2-D grayscale matrix")
+    h, w = mat.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + mat[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, compress_level))
+        + chunk(b"IEND", b"")
+    )

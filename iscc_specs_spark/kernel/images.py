@@ -49,6 +49,11 @@ def _dct_rows(mat: np.ndarray) -> np.ndarray:
     n = mat.shape[1]
     if n == 1:
         return mat.copy()
+    if n % 2 != 0:
+        # mirror the reference dct()'s even-length contract at every
+        # recursion level: without this an odd n leaves out[:, 0]
+        # uninitialized (nondeterministic np.empty memory)
+        raise ValueError("dct length must be 1 or a positive even number")
     half = n // 2
     head = mat[:, :half]
     rev = mat[:, ::-1][:, :half]
@@ -84,10 +89,135 @@ def image_hash(pixels) -> bytes:
     return np.packbits(bits).tobytes()
 
 
-def content_id_image(pixels, partial: bool = False) -> str:
-    """Content-ID-Image from a normalized 32×32 grayscale pixel matrix
-    (reference iscc.py:81-96 minus the PIL decode/resize, which this
-    container cannot run — feed it ``image_normalize`` output)."""
-    digest = image_hash(pixels)
+def content_id_image(img, partial: bool = False) -> str:
+    """Content-ID-Image (reference iscc.py:81-96): encoded PNG/GIF bytes or
+    a raw pixel matrix run the full normalize → DCT hash → encode path. A
+    pre-normalized 32×32 grayscale matrix passes through normalize
+    unchanged (the same-size resample is an exact identity), so both entry
+    styles agree. JPEG bytes raise — decode is implementation-defined
+    (kernel/imagecodec.py)."""
+    digest = image_hash(image_normalize(img))
     head = HEAD_CID_I_PCF if partial else HEAD_CID_I
     return encode(head + digest)
+
+
+# ---------------------------------------------------------------------------
+# image_normalize: grayscale conversion + bicubic 32×32 resize
+# (reference iscc.py:214-228 — PIL convert("L") + resize(BICUBIC))
+# ---------------------------------------------------------------------------
+#
+# Both halves are published algorithms reimplemented here from their specs:
+# the "L" conversion is ITU-R 601-2 luma in 16.16 fixed point, and the
+# resize is the separable convolution resampler all modern imaging
+# libraries use (bicubic kernel a = -0.5, horizontal-then-vertical passes,
+# 8-bit intermediate, coefficients in 10.22 fixed point) — validated
+# bit-for-bit against the vendored image_normalize golden vectors.
+
+_PRECISION_BITS = 32 - 8 - 2  # 22-bit fractional fixed-point coefficients
+
+
+def _bicubic_kernel(x: float) -> float:
+    a = -0.5
+    x = abs(x)
+    if x < 1.0:
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    if x < 2.0:
+        return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return 0.0
+
+
+def _resample_coeffs(in_size: int, out_size: int):
+    """Per-output-pixel (xmin, int_coeffs) for one axis (support 2.0,
+    area-scaled when minifying; weights normalized then fixed-pointed)."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    ss = 1.0 / filterscale
+    out = []
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)
+        if xmin < 0:
+            xmin = 0
+        xmax = int(center + support + 0.5)
+        if xmax > in_size:
+            xmax = in_size
+        k = [_bicubic_kernel((x + xmin - center + 0.5) * ss) for x in range(xmax - xmin)]
+        ww = sum(k)
+        if ww != 0.0:
+            k = [v / ww for v in k]
+        scale_i = 1 << _PRECISION_BITS
+        ki = [int(v * scale_i + 0.5) if v >= 0 else int(v * scale_i - 0.5) for v in k]
+        out.append((xmin, ki))
+    return out
+
+
+def _resample_axis(mat: np.ndarray, out_size: int) -> np.ndarray:
+    """Resample axis 1 of a (R, n) uint8 matrix to out_size columns with
+    clamped fixed-point accumulation (8-bit in, 8-bit out)."""
+    src = mat.astype(np.int64)
+    rows = mat.shape[0]
+    out = np.empty((rows, out_size), dtype=np.uint8)
+    half = 1 << (_PRECISION_BITS - 1)
+    top = 1 << (_PRECISION_BITS + 8)
+    for xx, (xmin, ki) in enumerate(_resample_coeffs(mat.shape[1], out_size)):
+        acc = np.full(rows, half, dtype=np.int64)
+        for i, c in enumerate(ki):
+            acc += src[:, xmin + i] * c
+        np.clip(acc, 0, top - 1, out=acc)
+        out[:, xx] = (acc >> _PRECISION_BITS).astype(np.uint8)
+    return out
+
+
+def resize_bicubic(gray: np.ndarray, width: int = 32, height: int = 32) -> np.ndarray:
+    """8-bit grayscale bicubic resize, horizontal pass then vertical pass
+    (each pass clamps to 8 bits, matching the standard resampler layout)."""
+    g = np.asarray(gray, dtype=np.uint8)
+    if g.ndim != 2:
+        raise ValueError("resize_bicubic expects a 2-D grayscale matrix")
+    g = _resample_axis(g, width)
+    g = _resample_axis(g.T, height).T
+    return g
+
+
+def to_grayscale(mode: str, pixels: np.ndarray, palette=None) -> np.ndarray:
+    """ITU-R 601-2 luma ("L") conversion: L = (19595 R + 38470 G + 7471 B)
+    >> 16; LA/RGBA drop alpha; palette images map through their table."""
+    p = np.asarray(pixels)
+    if mode == "L":
+        return p.astype(np.uint8)
+    if mode == "LA":
+        return p[:, :, 0].astype(np.uint8)
+    if mode == "P":
+        if palette is None:
+            raise ValueError("palette image without palette")
+        rgb = np.asarray(palette, dtype=np.int64)[p]
+        return ((rgb[:, :, 0] * 19595 + rgb[:, :, 1] * 38470 + rgb[:, :, 2] * 7471) >> 16).astype(np.uint8)
+    if mode in ("RGB", "RGBA"):
+        rgb = p.astype(np.int64)
+        return ((rgb[:, :, 0] * 19595 + rgb[:, :, 1] * 38470 + rgb[:, :, 2] * 7471) >> 16).astype(np.uint8)
+    raise ValueError(f"unsupported mode {mode!r}")
+
+
+def image_normalize(img) -> list[list[int]]:
+    """Reference iscc.py:214-228: decode → grayscale → 32×32 bicubic →
+    nested-list pixel matrix.
+
+    Accepts encoded PNG/GIF bytes (JPEG raises — implementation-defined
+    decode, kernel/imagecodec.py), an (H, W) grayscale matrix, or an
+    (H, W, 3|4) RGB(A) matrix — so any externally-decoded image flows the
+    full reference path."""
+    if isinstance(img, (bytes, bytearray)):
+        from iscc_specs_spark.kernel.imagecodec import decode_image
+
+        mode, pixels, palette = decode_image(bytes(img))
+        gray = to_grayscale(mode, pixels, palette)
+    else:
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            gray = arr.astype(np.uint8)
+        elif arr.ndim == 3:
+            gray = to_grayscale("RGB" if arr.shape[2] == 3 else "RGBA", arr)
+        else:
+            raise ValueError("image_normalize expects bytes or a 2-D/3-D matrix")
+    return [[int(v) for v in row] for row in resize_bicubic(gray)]

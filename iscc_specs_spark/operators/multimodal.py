@@ -2,20 +2,21 @@
 
 Assets are opaque ``binary`` payloads with typed metadata — the Spark-side
 contract (schema, partitioning, Arrow batch shape, UDF signatures) is real
-and tested; the codec step itself is stubbed because no image/audio
-libraries exist in this container.
+and tested. PNG/GIF decode is REAL (pure-stdlib deterministic decoders,
+kernel/imagecodec.py); JPEG and audio/video codecs remain honest stubs
+(JPEG decode is implementation-defined; no A/V libraries here).
 
 Design (mirrors the text tracks in operators/codegen.py): one
 ``mapInPandas`` pass per asset batch, Arrow-transported, producing
-fixed-width feature columns. The *deterministic fake* decode path computes
-features that only depend on the raw bytes (length, sha256 fingerprint,
-256-bin byte histogram, coarse 8×8 "thumbnail" of byte energy) so tests and
-benchmarks exercise the full distributed plumbing; swapping in a real codec
-is a one-function change (``decode_image``).
+fixed-width feature columns. Byte-level features (length, sha256
+fingerprint, 256-bin histogram, coarse 8×8 "thumbnail" of byte energy)
+depend only on the raw bytes, so every asset kind exercises the full
+distributed plumbing regardless of codec availability.
 
 Reference parity: the reference's image track (content_id_image,
-/root/reference/src/iscc/iscc.py:81-96) is descoped per SURVEY.md §7.4 —
-this module carries the plumbing it would plug into.
+/root/reference/src/iscc/iscc.py:81-96) runs end-to-end for PNG/GIF
+payloads — decode → image_normalize → DCT hash, all golden-vector
+conformant (tests/test_images.py, tests/test_conformance.py).
 """
 
 from __future__ import annotations
@@ -43,14 +44,17 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an encoded image to a grayscale pixel matrix.
 
-    STUB: no codec libraries (PIL/libjpeg) are available in this container.
-    The real implementation returns a 2-D uint8 array; callers must treat
-    the payload as opaque until then.
+    PNG and GIF decode for real via the pure-stdlib deterministic decoders
+    in kernel/imagecodec.py (zlib inflate + unfilter / LZW). JPEG raises
+    NotImplementedError — its decode is implementation-defined (IDCT
+    rounding varies across libjpeg builds), so a "deterministic JPEG"
+    cannot honestly exist without vendoring a specific codec build.
     """
-    raise NotImplementedError(
-        "image decoding requires a codec library not present in this "
-        "environment; use fake_features() for plumbing tests"
-    )
+    from iscc_specs_spark.kernel.imagecodec import decode_image as _dec
+    from iscc_specs_spark.kernel.images import to_grayscale
+
+    mode, pixels, palette = _dec(payload)
+    return to_grayscale(mode, pixels, palette)
 
 
 def fake_decode_image(payload: bytes, side: int = 32) -> "np.ndarray":
@@ -129,45 +133,86 @@ def extract_features(assets: DataFrame) -> DataFrame:
 def image_codes(assets: DataFrame) -> DataFrame:
     """Content-ID-Image per image asset — the reference's image track
     (iscc.py:81-96) run distributed: one Arrow-batched ``mapInPandas`` pass
-    decodes (stand-in: :func:`fake_decode_image`) and DCT-hashes each
-    payload with the conformant kernel (kernel/images.py).
+    decodes and DCT-hashes each payload with the conformant kernel
+    (kernel/images.py + kernel/imagecodec.py). PNG/GIF payloads run the
+    REAL decode → image_normalize → hash path; payloads that are not a
+    recognized image (synthetic byte blobs) fall back to the deterministic
+    byte-tiled stand-in so the plumbing stays exercised either way.
 
-    Narrow map, no shuffle; returns (asset_id, image_cid, image_hash_hex).
+    Narrow map, no shuffle; returns (asset_id, image_cid, image_hash_hex,
+    hash_body) — hash_body is the signed-64 digest for SQL-side
+    re-derivation of the encoded forms.
     """
-    from iscc_specs_spark.kernel.images import content_id_image, image_hash
+    from iscc_specs_spark.kernel.imagecodec import sniff
+    from iscc_specs_spark.kernel.images import image_hash, image_normalize
+
+    from iscc_specs_spark.kernel.codec import encode
+    from iscc_specs_spark.kernel.constants import HEAD_CID_I
+
+    def one(payload: bytes):
+        raw = bytes(payload)
+        if sniff(raw) in ("png", "gif"):
+            pixels = image_normalize(raw)
+        else:
+            pixels = fake_decode_image(raw)
+        digest = image_hash(pixels)  # both branches yield normalized 32×32
+        return (
+            encode(HEAD_CID_I + digest),
+            digest.hex(),
+            int.from_bytes(digest, "big", signed=True),
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = [fake_decode_image(p) for p in pdf["payload"]]
+            res = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "image_cid": [content_id_image(px) for px in pixels],
-                    "image_hash_hex": [image_hash(px).hex() for px in pixels],
+                    "image_cid": [r[0] for r in res],
+                    "image_hash_hex": [r[1] for r in res],
+                    "hash_body": [r[2] for r in res],
                 }
             )
 
     imgs = assets.where(F.col("kind") == "image").select("asset_id", "payload")
     return imgs.mapInPandas(
-        run, schema="asset_id long, image_cid string, image_hash_hex string"
+        run,
+        schema=(
+            "asset_id long, image_cid string, image_hash_hex string, "
+            "hash_body long"
+        ),
     )
 
 
 def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic fake asset table for tests/benchmarks."""
+    """Deterministic fake asset table for tests/benchmarks.
+
+    Image-kind assets carry REAL grayscale PNG payloads (a pure function of
+    the asset id — kernel/imagecodec.py:encode_png_gray) so the full
+    decode → normalize → DCT-hash reference path runs distributed; audio/
+    video payloads stay opaque byte blobs."""
+    from iscc_specs_spark.kernel.imagecodec import encode_png_gray
+
+    def _image_payload(i: int) -> bytes:
+        # 48×32 deterministic gradient-plus-texture pattern per asset
+        y, x = np.mgrid[0:32, 0:48]
+        mat = ((x * (3 + i % 7) + y * (5 + i % 11) + (x * y) // (1 + i % 4)) % 256)
+        return encode_png_gray(mat.astype(np.uint8))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].astype(int)
             kinds = [("image", "audio", "video")[i % 3] for i in ids]
             payloads = [
-                bytes(
+                _image_payload(i)
+                if k == "image"
+                else bytes(
                     np.frombuffer(
                         hashlib.sha256(f"asset-{i}".encode()).digest() * (8 + i % 5),
                         dtype=np.uint8,
                     )
                 )
-                for i in ids
+                for i, k in zip(ids, kinds)
             ]
             yield pd.DataFrame(
                 {

@@ -563,3 +563,23 @@ SELECT url, dup_of, src, ingest_batch FROM intra_flags
 UNION ALL
 SELECT url, dup_of, src, ingest_batch FROM cross_flags
 """
+
+
+def image_codes_sql(staged_path: str) -> str:
+    """Twin of the distributed image track (operators/multimodal.py:
+    image_codes): the DCT digest itself is pinned by the golden-vector
+    conformance suite; this twin independently re-derives the base58
+    Content-ID-Image string and the hex form from the staged 64-bit
+    digest body (same pattern as iscc_codes_sql)."""
+    from iscc_specs_spark.kernel.constants import HEAD_CID_I
+
+    prefix = encode(HEAD_CID_I)
+    u = unsigned64("hash_body")
+    return f"""
+WITH s AS (SELECT * FROM read_parquet('{staged_path}'))
+SELECT asset_id,
+       '{prefix}' || {base58_body_sql(u)} AS image_cid,
+       lower(lpad(hex({u}), 16, '0')) AS image_hash_hex,
+       hash_body
+FROM s
+"""

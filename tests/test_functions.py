@@ -41,3 +41,17 @@ def test_base58_body_matches_codec(spark):
     got = [r[0] for r in df.select(IF.base58_body("x")).collect()]
     want = [encode(v.to_bytes(8, "big")) for v in vals]
     assert got == want
+
+
+def test_iscc_compose_null_strict(spark):
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark import functions as IF
+
+    df = spark.createDataFrame(
+        [("CC", "CT", "CD", "CR"), ("CC", None, "CD", "CR")],
+        "m string, c string, d string, i string",
+    )
+    got = df.select(IF.iscc_compose("m", "c", "d", "i").alias("iscc")).collect()
+    assert got[0]["iscc"] == "CC-CT-CD-CR"
+    assert got[1]["iscc"] is None  # never a silently-shortened 3-segment code

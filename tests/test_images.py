@@ -119,3 +119,42 @@ def test_image_hash_is_8_bytes_and_sensitive():
         int.from_bytes(h1, "big") ^ int.from_bytes(image_hash(other), "big")
     ).count("1")
     assert d_small < d_big
+
+
+def test_dct_odd_length_raises_at_depth():
+    # 24 → 12 → 6 → 3: recursion hits an odd length below the top level and
+    # must raise (reference dct contract), never return np.empty garbage
+    import numpy as np
+    import pytest
+
+    from iscc_specs_spark.kernel.images import image_hash
+
+    with pytest.raises(ValueError):
+        image_hash(np.zeros((24, 24)))
+
+
+def test_image_normalize_golden_vectors_png_gif():
+    import json
+    from pathlib import Path
+
+    from iscc_specs_spark.kernel.images import image_normalize
+
+    fixtures = Path(__file__).parent / "fixtures"
+    vectors = json.loads((fixtures / "test_data.json").read_text())["image_normalize"]
+    for name, case in vectors.items():
+        if name == "required" or name.endswith("_jpg"):
+            continue
+        data = (fixtures / case["inputs"][0]).read_bytes()
+        assert image_normalize(data) == case["outputs"], name
+
+
+def test_normalize_is_identity_on_normalized_matrix():
+    import json
+    from pathlib import Path
+
+    from iscc_specs_spark.kernel.images import image_normalize
+
+    fixtures = Path(__file__).parent / "fixtures"
+    vectors = json.loads((fixtures / "test_data.json").read_text())["image_normalize"]
+    mat = vectors["test_002_file_image_cat_png"]["outputs"]
+    assert image_normalize(mat) == mat

@@ -9,9 +9,18 @@ from iscc_specs_spark.operators import multimodal as M
 
 def test_decode_stubs_raise():
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8fakejpeg")
+        M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # real JFIF magic
     with pytest.raises(NotImplementedError):
         M.sample_frames(b"fakevideo")
+
+
+def test_decode_image_real_png():
+    import numpy as np
+
+    from iscc_specs_spark.kernel.imagecodec import encode_png_gray
+
+    mat = ((np.arange(24 * 16).reshape(16, 24) * 3) % 256).astype(np.uint8)
+    assert (M.decode_image(encode_png_gray(mat)) == mat).all()
 
 
 def test_fake_features_deterministic():
@@ -51,11 +60,15 @@ def test_image_codes_distributed_matches_local(spark):
 
     assets = M.synthetic_assets(spark, n=24)
     got = {r["asset_id"]: r for r in M.image_codes(assets).collect()}
+    # image assets are real PNGs: the local twin runs the full reference
+    # path (decode → normalize → DCT hash) via content_id_image(bytes)
     local = {
-        r["asset_id"]: content_id_image(M.fake_decode_image(bytes(r["payload"])))
+        r["asset_id"]: content_id_image(bytes(r["payload"]))
         for r in assets.where("kind = 'image'").collect()
     }
     assert set(got) == set(local) and len(got) == 8  # every 3rd of 24
     for aid, want in local.items():
         assert got[aid]["image_cid"] == want
         assert want.startswith("CY")  # HEAD_CID_I header chars
+    # distinct patterns → mostly distinct codes
+    assert len({r["image_cid"] for r in got.values()}) > 1

@@ -88,6 +88,27 @@ def test_dedup_pairs_is_jvm_side_after_codegen(spark):
     )
 
 
+def test_staged_queries_read_from_materialized_codes(plans):
+    """The oracle-stage parquet write (__spark_entry__._stage) must stay a
+    side output: every kernel-backed query's MAIN plan reads the
+    checkpointed codes table (Scan ExistingRDD) and contains neither a
+    codegen re-execution (Python stage) nor the staging write itself —
+    otherwise a refactor could silently double-execute the codegen UDFs
+    once per consumer."""
+    for name in (
+        "dedup_pairs", "dedup_clusters", "lsh_band_stats", "cluster_mixed_cid"
+    ):
+        txt = plans[name]
+        assert "ExistingRDD" in txt, f"{name}: codes not materialized"
+        assert not re.search(
+            r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
+            txt,
+        ), f"{name}: codegen re-executed in main plan"
+        assert "InsertIntoHadoopFsRelation" not in txt, (
+            f"{name}: staging write leaked into the query plan"
+        )
+
+
 def test_no_python_stages_outside_codegen_and_sources(plans):
     """Queries whose inputs are the driver parquet tables (not the synthetic
     mapInPandas sources) must contain at most the single codegen Python
