@@ -45,6 +45,7 @@ HEADLINE = [
     "language_id",
     "fingerprints",
     "multimodal_features",
+    "image_codes_2k",
     # relational surface
     "q1_pricing",
     "top_customers",
@@ -92,6 +93,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         )
 
     qs["substring_matches"] = _substring_prod
+
+    # image-track throughput: 2k real PNG payloads through the full
+    # decode → normalize → DCT-hash kernel in one Arrow pass (the driver
+    # query's 64-asset version is a correctness row, not a benchmark)
+    def _image_codes_2k(s, sf_dir_):
+        from iscc_specs_spark.operators.multimodal import (
+            image_codes,
+            synthetic_assets,
+        )
+
+        return image_codes(synthetic_assets(s, n=6000, partitions=64))
+
+    qs["image_codes_2k"] = _image_codes_2k
     # warmup: JVM JIT + Arrow + Python-UDF worker pool (one tiny pandas-UDF
     # pass per executor thread spins up workers and builds the normalize
     # tables, so the first timed UDF query isn't charged for cold start)

@@ -76,6 +76,56 @@ def start_codes_stream(
     return writer.start()
 
 
+def read_assets_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over parquet drops of the multimodal asset schema
+    (operators/multimodal.py:ASSET_SCHEMA)."""
+    from iscc_specs_spark.operators.multimodal import ASSET_SCHEMA
+
+    return (
+        spark.readStream.schema(ASSET_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def start_image_codes_stream(
+    assets_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Multimodal assets arriving continuously → Content-ID-Image table.
+
+    The identical Arrow-batched ``image_codes`` stage as batch (mapInPandas
+    is streaming-capable — no separate code path): PNG/GIF payloads run the
+    real decode → normalize → DCT-hash kernel. Exactly-once the same way as
+    the text stream: checkpoint + per-batch ``ingest_batch`` partition
+    overwrite, so a replayed batch overwrites itself."""
+    from iscc_specs_spark.operators.multimodal import image_codes
+
+    codes = image_codes(assets_stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        codes.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_dedup_stream(
     pages_stream: DataFrame,
     state_dir: str,

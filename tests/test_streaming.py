@@ -121,3 +121,44 @@ def test_pending_batch_replay_is_idempotent(spark, tmp_path):
     replayed = snap()
     assert replayed == clean
     assert not any(url == dup_of for url, dup_of, _, _ in replayed)
+
+
+def test_streaming_image_codes_match_batch(spark, tmp_path):
+    """Image assets arriving in two micro-batch drops produce the same
+    Content-ID-Image codes as one batch pass (real PNG decode kernel)."""
+    from iscc_specs_spark.operators.multimodal import image_codes, synthetic_assets
+    from iscc_specs_spark.streaming.ingest import (
+        read_assets_stream,
+        start_image_codes_stream,
+    )
+
+    src = str(tmp_path / "assets_src")
+    out = str(tmp_path / "image_codes_out")
+    ckpt = str(tmp_path / "ckpt_img")
+
+    assets = synthetic_assets(spark, n=30).localCheckpoint(eager=True)
+    os.makedirs(src)
+    assets.where("asset_id < 15").coalesce(1).write.parquet(src + "/tmp1")
+    assets.where("asset_id >= 15").coalesce(1).write.parquet(src + "/tmp2")
+    import shutil
+
+    n = 0
+    for d in ("tmp1", "tmp2"):
+        for f in os.listdir(f"{src}/{d}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src}/{d}/{f}", f"{src}/b{n}.parquet")
+                n += 1
+
+    q = start_image_codes_stream(
+        read_assets_stream(spark, src, max_files_per_trigger=1), out, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["asset_id"]: r["image_cid"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["asset_id"]: r["image_cid"] for r in image_codes(assets).collect()
+    }
+    assert got == want and len(got) == 10  # every 3rd of 30 is an image
