@@ -286,6 +286,23 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant as a driver row: deterministic <p>-body
+    extraction recovers the text column byte-identically from the rendered
+    html for every url (operators/extraction.py; fully JVM-side)."""
+    from iscc_specs_spark.operators.extraction import extract_text
+    from iscc_specs_spark.sources.pages import pages_from_documents
+
+    ex = extract_text(pages_from_documents(spark, sf_dir))
+    return ex.select(
+        "url",
+        F.length("extracted_text").cast("long").alias("n_chars"),
+        (
+            F.col("extracted_text") == F.coalesce(F.col("text"), F.lit(""))
+        ).alias("roundtrip"),
+    )
+
+
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
@@ -403,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
+        "extracted_text": _q_extracted_text,
         "q1_pricing": _q_q1_pricing,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -584,6 +602,33 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform({_shingles_sql(5)}, s -> md5(s)))
                        AS min_shingle_fp
             FROM toks
+        """,
+        "extracted_text": r"""
+            WITH docs2 AS (
+                SELECT 'https://' || source || '.example/p/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       'doc ' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                           AS title,
+                       coalesce(text, '') AS text
+                FROM documents
+            ),
+            h AS (
+                SELECT url, text,
+                       '<html><head><title>' || title
+                       || '</title></head><body><p>' || text
+                       || '</p></body></html>' AS html
+                FROM docs2
+            ),
+            e AS (
+                SELECT url, text,
+                       array_to_string(
+                           regexp_extract_all(html, '(?s)<p>(.*?)</p>', 1),
+                           chr(10)) AS extracted
+                FROM h
+            )
+            SELECT url, CAST(length(extracted) AS BIGINT) AS n_chars,
+                   extracted = text AS roundtrip
+            FROM e
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

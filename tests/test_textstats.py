@@ -64,3 +64,30 @@ def test_min_shingle_fp_shared_run(spark):
     # both docs contain all shingles of the shared 30-word run; the global
     # min shingle hash is very likely inside it (26 shared vs ~2 unique)
     assert r[0]["min_shingle_fp"] == r[1]["min_shingle_fp"]
+
+
+def test_extract_text_roundtrip(spark):
+    """North-rule invariant: extraction recovers the text column
+    byte-identically from the rendered html for every page."""
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark.operators.extraction import extract_text
+    from iscc_specs_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 60, partitions=2)
+    ex = extract_text(pages)
+    bad = ex.where(
+        F.col("extracted_text") != F.coalesce(F.col("text"), F.lit(""))
+    ).count()
+    assert bad == 0
+
+
+def test_extract_text_multi_paragraph(spark):
+    from iscc_specs_spark.operators.extraction import extract_text
+
+    df = spark.createDataFrame(
+        [(b"<html><body><p>one</p><div>x</div><p>two\nlines</p></body></html>",)],
+        "html binary",
+    )
+    got = extract_text(df).collect()[0]["extracted_text"]
+    assert got == "one\ntwo\nlines"
