@@ -151,10 +151,16 @@ def image_codes(assets: DataFrame) -> DataFrame:
 
     def one(payload: bytes):
         raw = bytes(payload)
-        if sniff(raw) in ("png", "gif"):
-            pixels = image_normalize(raw)
-        else:
-            pixels = fake_decode_image(raw)
+        try:
+            if sniff(raw) in ("png", "gif"):
+                pixels = image_normalize(raw)
+            else:
+                pixels = fake_decode_image(raw)
+        except Exception:
+            # a 100 TB crawl WILL contain truncated/corrupt images; emit
+            # NULL codes (measurable corrupt rate) rather than failing the
+            # job or faking a hash for undecodable bytes
+            return (None, None, None)
         digest = image_hash(pixels)  # both branches yield normalized 32×32
         return (
             encode(HEAD_CID_I + digest),

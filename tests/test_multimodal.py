@@ -72,3 +72,19 @@ def test_image_codes_distributed_matches_local(spark):
         assert want.startswith("CY")  # HEAD_CID_I header chars
     # distinct patterns → mostly distinct codes
     assert len({r["image_cid"] for r in got.values()}) > 1
+
+
+def test_image_codes_corrupt_payload_yields_null(spark):
+    """Truncated PNG must produce NULL codes (measurable corrupt rate), not
+    fail the job or fall back to a fake hash."""
+    import numpy as np
+
+    import iscc_specs_spark.operators.multimodal as M
+    from iscc_specs_spark.kernel.imagecodec import encode_png_gray
+
+    ok = encode_png_gray(np.zeros((8, 8), dtype=np.uint8))
+    rows = [(0, "image", bytes(ok)), (1, "image", bytes(ok[:30]))]  # truncated
+    df = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    got = {r["asset_id"]: r for r in M.image_codes(df).collect()}
+    assert got[0]["image_cid"] is not None
+    assert got[1]["image_cid"] is None and got[1]["hash_body"] is None

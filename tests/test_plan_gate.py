@@ -118,7 +118,7 @@ def test_no_python_stages_outside_codegen_and_sources(plans):
         "embedding_neardup_lsh", "ann_topk", "ann_lsh_topk", "token_counts",
         "quality_scores", "language_id", "fingerprints", "q1_pricing",
         "top_customers", "events_by_type", "user_last_event",
-        "substring_matches",
+        "substring_matches", "extracted_text",
     ]
     for name in pure_sql:
         assert not re.search(
