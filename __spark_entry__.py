@@ -184,7 +184,9 @@ def _q_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = image_codes(synthetic_assets(spark, n=64))
     _stage(codes, sf_dir, "image_codes")
-    return codes.select("asset_id", "image_cid", "image_hash_hex", "hash_body")
+    return codes.select(
+        "asset_id", "image_cid", "image_hash_hex", "hash_body", "decode_status"
+    )
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

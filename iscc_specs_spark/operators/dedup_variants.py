@@ -197,6 +197,7 @@ def embedding_neardup_lsh(
     seed: int = 11,
     dim: int | None = None,
     bucket_cap: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH-gated embedding near-dup pairs — the scale path the brute-force
     verifier above gates at 100 TB.
@@ -245,6 +246,13 @@ def embedding_neardup_lsh(
     bucketed = e.select(
         "vec_id", "v", "nrm", F.explode(F.array(*bucket_structs)).alias("b")
     ).select("vec_id", "v", "nrm", F.col("b.t").alias("t"), F.col("b.h").alias("h"))
+    if materialize:
+        # the signature subtree (ntables × nbits hyperplane dot products
+        # per vector) has ~5 consumers below (sizes, both cold join sides,
+        # hot, hubs) — without materialization Spark re-expands it once per
+        # consumer (same incident as lsh.dup_pairs' slim table; CLAUDE.md).
+        # At warehouse scale this is a written, bucketed stage table.
+        bucketed = bucketed.localCheckpoint(eager=True)
 
     sizes = bucketed.groupBy("t", "h").agg(F.count("*").alias("bucket_n"))
     hot_keys = sizes.where(F.col("bucket_n") > bucket_cap).select("t", "h")

@@ -140,8 +140,10 @@ def image_codes(assets: DataFrame) -> DataFrame:
     byte-tiled stand-in so the plumbing stays exercised either way.
 
     Narrow map, no shuffle; returns (asset_id, image_cid, image_hash_hex,
-    hash_body) — hash_body is the signed-64 digest for SQL-side
-    re-derivation of the encoded forms.
+    hash_body, decode_status) — hash_body is the signed-64 digest for
+    SQL-side re-derivation of the encoded forms; decode_status separates
+    real decodes ('ok') from stand-ins and the NULL-code failure classes
+    ('null_payload' / 'jpeg_descoped' / 'unsupported' / 'corrupt').
     """
     from iscc_specs_spark.kernel.imagecodec import sniff
     from iscc_specs_spark.kernel.images import image_hash, image_normalize
@@ -150,22 +152,36 @@ def image_codes(assets: DataFrame) -> DataFrame:
     from iscc_specs_spark.kernel.constants import HEAD_CID_I
 
     def one(payload: bytes):
+        # a 100 TB crawl WILL contain NULL, truncated, corrupt and
+        # policy-descoped payloads; each failure class gets NULL codes plus
+        # a distinct decode_status (measurable rates, never a fake hash for
+        # bytes that claimed to be a real image, never a failed job)
+        if payload is None:
+            return (None, None, None, "null_payload")
         raw = bytes(payload)
+        kind = sniff(raw)
         try:
-            if sniff(raw) in ("png", "gif"):
-                pixels = image_normalize(raw)
+            if kind in ("png", "gif"):
+                pixels, status = image_normalize(raw), "ok"
+            elif kind == "jpeg":
+                # decode is implementation-defined (kernel/imagecodec.py):
+                # refuse rather than hash compressed bytes as pixels
+                return (None, None, None, "jpeg_descoped")
             else:
-                pixels = fake_decode_image(raw)
+                # unrecognized bytes: deterministic byte-tiled stand-in so
+                # synthetic/opaque payloads still exercise the plumbing
+                pixels, status = fake_decode_image(raw), "stand_in"
+        except NotImplementedError:
+            # well-formed but unsupported variant (16-bit / interlaced PNG)
+            return (None, None, None, "unsupported")
         except Exception:
-            # a 100 TB crawl WILL contain truncated/corrupt images; emit
-            # NULL codes (measurable corrupt rate) rather than failing the
-            # job or faking a hash for undecodable bytes
-            return (None, None, None)
+            return (None, None, None, "corrupt")
         digest = image_hash(pixels)  # both branches yield normalized 32×32
         return (
             encode(HEAD_CID_I + digest),
             digest.hex(),
             int.from_bytes(digest, "big", signed=True),
+            status,
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,6 +193,7 @@ def image_codes(assets: DataFrame) -> DataFrame:
                     "image_cid": [r[0] for r in res],
                     "image_hash_hex": [r[1] for r in res],
                     "hash_body": [r[2] for r in res],
+                    "decode_status": [r[3] for r in res],
                 }
             )
 
@@ -185,7 +202,7 @@ def image_codes(assets: DataFrame) -> DataFrame:
         run,
         schema=(
             "asset_id long, image_cid string, image_hash_hex string, "
-            "hash_body long"
+            "hash_body long, decode_status string"
         ),
     )
 

@@ -580,6 +580,6 @@ WITH s AS (SELECT * FROM read_parquet('{staged_path}'))
 SELECT asset_id,
        '{prefix}' || {base58_body_sql(u)} AS image_cid,
        lower(lpad(hex({u}), 16, '0')) AS image_hash_hex,
-       hash_body
+       hash_body, decode_status
 FROM s
 """

@@ -83,8 +83,15 @@ def test_image_codes_corrupt_payload_yields_null(spark):
     from iscc_specs_spark.kernel.imagecodec import encode_png_gray
 
     ok = encode_png_gray(np.zeros((8, 8), dtype=np.uint8))
-    rows = [(0, "image", bytes(ok)), (1, "image", bytes(ok[:30]))]  # truncated
+    rows = [
+        (0, "image", bytes(ok)),
+        (1, "image", bytes(ok[:30])),            # truncated PNG
+        (2, "image", None),                      # NULL payload
+        (3, "image", b"\xff\xd8\xff\xe0jpeg.."),  # JPEG: decode descoped
+    ]
     df = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
     got = {r["asset_id"]: r for r in M.image_codes(df).collect()}
-    assert got[0]["image_cid"] is not None
-    assert got[1]["image_cid"] is None and got[1]["hash_body"] is None
+    assert got[0]["image_cid"] is not None and got[0]["decode_status"] == "ok"
+    for aid, status in ((1, "corrupt"), (2, "null_payload"), (3, "jpeg_descoped")):
+        assert got[aid]["image_cid"] is None and got[aid]["hash_body"] is None
+        assert got[aid]["decode_status"] == status, aid
