@@ -45,18 +45,18 @@ def _tokens(col: str = "text"):
     )
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
-    """doc_id, n_chars, n_tokens (whitespace), n_bpe_tokens (regex)."""
+def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id, n_chars, n_tokens (whitespace), n_bpe_tokens (regex)."""
     text = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
-        "doc_id",
+        id_col,
         F.length(text).alias("n_chars"),
         F.size(_tokens()).alias("n_tokens"),
         F.regexp_count(text, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + one score.
 
     score = 0.4·len_ok + 0.3·(1−punct_ratio clipped) + 0.3·stopword_signal —
@@ -77,7 +77,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.lit(0.0)
     )
     return docs.select(
-        "doc_id",
+        id_col,
         F.size(toks).alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         n_stop.alias("n_stopwords"),

@@ -54,6 +54,12 @@ class StageStore:
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self._dir(stage))
 
+    def record_metrics(self, name: str, metrics: dict) -> None:
+        """Side-channel metrics file (e.g. a curation funnel) next to the
+        stage manifests, keyed by the same config hash."""
+        with open(os.path.join(self.root, f"{name}.metrics.json"), "w") as f:
+            json.dump({"config_hash": self.cfg_hash, **metrics}, f, indent=1)
+
     def manifest(self, stage: str) -> dict:
         with open(self._manifest_path(stage)) as f:
             return json.load(f)

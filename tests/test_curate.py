@@ -1,0 +1,52 @@
+"""End-to-end curation plan: quality gate → dedup → canonical corpus with
+a recorded funnel; killed runs resume from materialized stages."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from iscc_specs_spark.plans.curate import CurateConfig, run_curation
+from iscc_specs_spark.sources.pages import generate_pages
+
+
+def test_curation_funnel(spark, tmp_path):
+    out = str(tmp_path / "curate")
+    pages = generate_pages(spark, 200, partitions=4).localCheckpoint(eager=True)
+    res = run_curation(spark, pages, out)
+    m = res["metrics"]
+
+    assert m["docs_in"] == 200
+    assert m["docs_in"] == (
+        m["docs_dropped_quality"] + m["docs_dropped_duplicate"] + m["docs_out"]
+    )
+    assert m["docs_dropped_duplicate"] > 0, "generator plants duplicate clusters"
+    assert m["tokens_out"] > 0
+
+    corpus = res["corpus"]
+    # exactly one canonical survivor per cluster
+    per_cluster = corpus.groupBy("cluster_id").count()
+    assert per_cluster.where(F.col("count") > 1).count() == 0
+    # every survivor clears the quality bar
+    assert corpus.where(F.col("quality_score") < 0.35).count() == 0
+
+    # funnel metrics are recorded on disk for auditing
+    with open(os.path.join(out, "funnel.metrics.json")) as f:
+        disk = json.load(f)
+    assert disk["docs_out"] == m["docs_out"]
+
+
+def test_curation_resumes_from_stages(spark, tmp_path):
+    out = str(tmp_path / "curate2")
+    pages = generate_pages(spark, 120, partitions=2).localCheckpoint(eager=True)
+    first = run_curation(spark, pages, out)
+
+    # second run with identical config must reuse every stage (manifest
+    # hit) and produce the identical corpus
+    second = run_curation(spark, pages, out)
+    a = sorted(r["url"] for r in first["corpus"].select("url").collect())
+    b = sorted(r["url"] for r in second["corpus"].select("url").collect())
+    assert a == b
+    assert second["store"].has("scored") and second["store"].has("corpus")
