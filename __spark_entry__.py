@@ -61,15 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
     from iscc_specs_spark.operators import lsh
     from iscc_specs_spark.operators.cluster import assign_clusters
 
+    from iscc_specs_spark.functions import iscc_compose
+
     codes = _codes(spark, "/root/testdata/sf0.001")
     pairs = lsh.dup_pairs(codes)
     clusters = assign_clusters(codes.select("url"), pairs)
     return (
         codes.select(
             "url",
-            # fully-qualified ISCC (reference tools/stamp.py:43 composition)
-            F.concat_ws(
-                "-", "meta_id", "content_id", "data_id", "instance_id"
+            # fully-qualified ISCC (reference tools/stamp.py:43 composition;
+            # NULL-strict — a missing component yields NULL, never a
+            # silently-shortened 3-segment code)
+            iscc_compose(
+                "meta_id", "content_id", "data_id", "instance_id"
             ).alias("iscc"),
             "meta_id", "content_id", "data_id", "instance_id",
         )
@@ -82,12 +86,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _q_iscc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.functions import iscc_compose
+
     codes = _codes(spark, sf_dir)
     return codes.select(
         "url",
-        # fully-qualified ISCC (reference README.md:38, tools/stamp.py:43)
-        F.concat_ws(
-            "-", "meta_id", "content_id", "data_id", "instance_id"
+        # fully-qualified ISCC (reference README.md:38, tools/stamp.py:43;
+        # NULL-strict composition via functions.iscc_compose)
+        iscc_compose(
+            "meta_id", "content_id", "data_id", "instance_id"
         ).alias("iscc"),
         "meta_id", "content_id", "data_id", "instance_id", "tophash",
         "simhash", "n_features", "n_bytes",
@@ -184,7 +191,13 @@ def _q_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = image_codes(synthetic_assets(spark, n=64))
     _stage(codes, sf_dir, "image_codes")
-    return codes.select(
+    # read the staged table back (column-identical) so the decode
+    # mapInPandas runs exactly once — returning the lazy plan would
+    # re-execute it for the driver-side hash
+    staged = spark.read.parquet(
+        os.path.join(_stage_dir(sf_dir), "image_codes")
+    )
+    return staged.select(
         "asset_id", "image_cid", "image_hash_hex", "hash_body", "decode_status"
     )
 
@@ -377,7 +390,10 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching their own earlier write) would hash-mismatch."""
     import shutil
 
-    from iscc_specs_spark.streaming.ingest import process_dedup_batch
+    from iscc_specs_spark.streaming.ingest import (
+        process_dedup_batch,
+        read_dup_flags,
+    )
 
     state = os.path.join(_stage_dir(sf_dir), "stream_state")
     key = (sf_dir, "stream_state")
@@ -393,7 +409,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         process_dedup_batch(b1, 1, state)
         process_dedup_batch(b1, 1, state)  # replay must be a no-op
         _staged.add(key)
-    return spark.read.parquet(f"{state}/dup_flags").select(
+    return read_dup_flags(spark, state).select(
         "url", "dup_of", "src",
         F.col("ingest_batch").cast("long").alias("ingest_batch"),
     )

@@ -17,6 +17,16 @@ pure map over the scan.
 The round-trip property ``extract_text(render(text)) == text`` is asserted
 per-row in the ``extracted_text`` driver query (and its DuckDB twin
 recomputes the extraction independently from a rebuilt html column).
+
+Malformed input: a 100 TB crawl contains invalid-UTF-8 pages, and under
+ANSI mode (Spark 4 default) ``decode(html, 'utf-8')`` raises
+MALFORMED_CHARACTER_CODING — one bad page would fail the whole job.  The
+decode here is therefore ``make_valid_utf8(cast(html AS string))``: the
+binary→string cast reinterprets bytes without validation and
+make_valid_utf8 replaces every invalid sequence with U+FFFD (the Unicode
+replacement character) — byte-identical to a plain decode for valid UTF-8
+(the per-url invariant is unaffected), total and deterministic for
+invalid bytes.
 """
 
 from __future__ import annotations
@@ -30,10 +40,12 @@ _PARA_RE = r"(?s)<p>(.*?)</p>"
 
 
 def extract_text_col(html_col: str = "html") -> Column:
-    """Column expression: UTF-8 decode → all ``<p>`` bodies → ``\\n`` join."""
+    """Column expression: total UTF-8 decode (invalid bytes → U+FFFD, never
+    a job failure) → all ``<p>`` bodies → ``\\n`` join."""
     return F.array_join(
         F.expr(
-            f"regexp_extract_all(decode({html_col}, 'utf-8'), '{_PARA_RE}', 1)"
+            "regexp_extract_all("
+            f"make_valid_utf8(cast({html_col} AS string)), '{_PARA_RE}', 1)"
         ),
         "\n",
     )

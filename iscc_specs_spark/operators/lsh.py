@@ -85,9 +85,12 @@ def rep_codes(codes: DataFrame, reps: DataFrame | None = None) -> DataFrame:
 
 
 def minhash_bands(
-    codes: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS
+    codes: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(url, band_id, band_hash) — native explode of xxhash64 band keys."""
+    """(url, *keep, band_id, band_hash) — native explode of xxhash64 band
+    keys; ``keep`` columns pass through unchanged (e.g. the streaming band
+    index preserves ``ingest_batch`` for partition attribution)."""
     structs = [
         F.struct(
             F.lit(i).alias("band_id"),
@@ -98,13 +101,20 @@ def minhash_bands(
         for i in range(bands)
     ]
     return codes.select(
-        "url", F.explode(F.array(*structs)).alias("b")
-    ).select("url", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+        "url", *keep, F.explode(F.array(*structs)).alias("b")
+    ).select(
+        "url", *keep,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
 
 
-def simhash_bands(codes: DataFrame, subkeys: int = 4) -> DataFrame:
-    """(url, band_id, band_hash) from 16-bit SimHash sub-keys; band_id offset
-    by 1000 to keep the key space disjoint from minhash bands."""
+def simhash_bands(
+    codes: DataFrame, subkeys: int = 4, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(url, *keep, band_id, band_hash) from 16-bit SimHash sub-keys;
+    band_id offset by 1000 to keep the key space disjoint from minhash
+    bands."""
     width = 64 // subkeys
     mask = (1 << width) - 1
     structs = [
@@ -116,8 +126,10 @@ def simhash_bands(codes: DataFrame, subkeys: int = 4) -> DataFrame:
         )
         for i in range(subkeys)
     ]
-    return codes.select("url", F.explode(F.array(*structs)).alias("b")).select(
-        "url", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    return codes.select("url", *keep, F.explode(F.array(*structs)).alias("b")).select(
+        "url", *keep,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import asdict, dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iscc_specs_spark.operators.codegen import compute_codes
@@ -49,6 +49,29 @@ def lsh_metrics(band_table: DataFrame, bucket_cap: int) -> dict:
         .collect()[0]
     )
     return {k: int(row[k] or 0) for k in row.asDict()}
+
+
+def canonical_pick(codes: DataFrame, clusters: DataFrame) -> DataFrame:
+    """(url, cluster_id, is_canonical): keep the oldest (warc_ts, url) per
+    cluster.
+
+    min_by aggregation, NOT a row_number window: the window's
+    partitionBy(cluster_id) sort puts a degenerate mega-cluster (a template
+    farm is ~10⁴ members at 1 M pages, unbounded at 10¹²) into a single
+    sorting task, while min_by partially aggregates map-side — the shuffle
+    carries one candidate row per (map partition, cluster), so no cluster
+    size can skew it. The member→champion join is a plain equi-join on
+    cluster_id (AQE skew-split-able; O(k) data movement, no per-cluster
+    sort)."""
+    members = codes.select("url", "warc_ts").join(clusters, "url")
+    champs = members.groupBy("cluster_id").agg(
+        F.min_by("url", F.struct("warc_ts", "url")).alias("_champ")
+    )
+    return members.join(champs, "cluster_id").select(
+        "url",
+        "cluster_id",
+        (F.col("url") == F.col("_champ")).alias("is_canonical"),
+    )
 
 
 def run_dedup(
@@ -104,19 +127,11 @@ def run_dedup(
         )
 
     # ④ canonical representative per cluster: keep oldest (warc_ts, url)
+    # (skew-free min_by aggregation — see canonical_pick)
     if store.has("canonical"):
         canonical = store.read(spark, "canonical")
     else:
-        w = Window.partitionBy("cluster_id").orderBy("warc_ts", "url")
-        canonical = store.write(
-            codes.select("url", "warc_ts")
-            .join(clusters, "url")
-            .withColumn("rank", F.row_number().over(w))
-            .select(
-                "url", "cluster_id", (F.col("rank") == 1).alias("is_canonical")
-            ),
-            "canonical",
-        )
+        canonical = store.write(canonical_pick(codes, clusters), "canonical")
 
     return {
         "codes": codes,

@@ -32,6 +32,26 @@ PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
+# dup_flags state schema (ingest_batch is the partition column). Consumers
+# must read with this explicit schema: a stream whose batches produced zero
+# flags so far leaves an empty partitioned dir (only _SUCCESS), which
+# schema inference cannot read.
+FLAGS_SCHEMA = "url string, dup_of string, src string, ingest_batch int"
+
+
+def read_dup_flags(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated dup-flags state, schema-stable even when no batch has
+    emitted a flag yet (empty dir → empty DataFrame, absent dir → empty
+    DataFrame, never a schema-inference failure)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(FLAGS_SCHEMA).parquet(f"{state_dir}/dup_flags")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], FLAGS_SCHEMA)
+        raise
+
 
 def read_pages_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
@@ -182,7 +202,13 @@ def _read_history(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        if (
+            "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+            # an empty first batch writes only _SUCCESS — no schema to
+            # infer yet, semantically the same as "no history"
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
             return None
         raise
 
@@ -203,6 +229,17 @@ def process_dedup_batch(
     excluded, so documents never match their own earlier write (which would
     flag every doc as a hamming-0 dup of itself). ``ingest_batch`` is the
     partition column, so the filter is partition pruning, not a scan.
+
+    The historical band table is a *maintained index*, not a per-batch
+    recomputation: each batch appends its own band rows to
+    ``state_dir/bands`` (same ``ingest_batch`` partition-overwrite sink as
+    codes/flags, so replay overwrites itself), and the vs-history probe
+    reads that table directly. Without the index, banding the accumulated
+    codes table costs O(|history|) *kernel work* per micro-batch — ingest
+    cost would grow linearly with corpus age; with it, per-batch work is
+    O(|batch|) banding + one pruned probe of the index. (At warehouse scale
+    the index is additionally bucketed by (band_id, band_hash) so the probe
+    prunes files instead of scanning partitions.)
     """
     from iscc_specs_spark.operators import lsh
 
@@ -216,6 +253,13 @@ def process_dedup_batch(
         F.lit("intra_batch").alias("src"),
     )
 
+    # this batch's contribution to the band index (ALL rows, matching the
+    # probe semantics: every historical row must be findable, not just its
+    # exact-dup representative)
+    own_bands = (
+        lsh.minhash_bands(batch).union(lsh.simhash_bands(batch))
+    )
+
     hist = _read_history(spark, f"{state_dir}/codes")
     if hist is not None:
         # exclude this batch's own partition: a replayed batch must not
@@ -227,7 +271,28 @@ def process_dedup_batch(
             "url", "cid_body", "simhash", "minhash", "tophash"
         )
         nb = lsh.minhash_bands(new_slim).union(lsh.simhash_bands(new_slim))
-        hb = lsh.minhash_bands(hist_slim).union(lsh.simhash_bands(hist_slim))
+        hb = _read_history(spark, f"{state_dir}/bands")
+        if hb is not None:
+            hb = hb.where(F.col("ingest_batch") < F.lit(batch_id)).select(
+                "url", "band_id", "band_hash"
+            )
+        else:
+            # legacy state dir written before the index existed: backfill
+            # it once from history codes, under each history row's OWN
+            # ingest_batch partition (so replay semantics — `< batch_id`
+            # prunes only the replayed batch — keep holding afterwards)
+            backfill = lsh.minhash_bands(hist, keep=("ingest_batch",)).union(
+                lsh.simhash_bands(hist, keep=("ingest_batch",))
+            )
+            (
+                backfill.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(f"{state_dir}/bands")
+            )
+            hb = spark.read.parquet(f"{state_dir}/bands").where(
+                F.col("ingest_batch") < F.lit(batch_id)
+            ).select("url", "band_id", "band_hash")
         cand = (
             hb.join(F.broadcast(nb.withColumnRenamed("url", "new_url")),
                     ["band_id", "band_hash"])
@@ -261,7 +326,9 @@ def process_dedup_batch(
     else:
         flags = intra
 
-    for df, sub in ((flags, "dup_flags"), (batch, "codes")):
+    # flags + codes + this batch's band-index rows, each into its own
+    # ingest_batch partition (replay overwrites itself in all three)
+    for df, sub in ((flags, "dup_flags"), (batch, "codes"), (own_bands, "bands")):
         (
             df.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")

@@ -139,3 +139,56 @@ def test_lineage_and_metrics_recorded(spark, tmp_path):
     assert man["metrics"]["n_buckets"] > 0
     assert "max_bucket" in man["metrics"] and "capped_buckets" in man["metrics"]
     assert len(r["store"].manifest("codes")["partitions"]) >= 1
+
+
+def test_canonical_pick_minby_no_window(spark):
+    """Canonical pick must be the skew-free min_by aggregation: no Window
+    operator (whose partitionBy(cluster_id) sort would put a mega-cluster
+    into one task), and the champion is exactly min(warc_ts, url) per
+    cluster — verified on a corpus containing the template-farm
+    mega-cluster fixture."""
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark.plans.dedup import canonical_pick
+
+    # 600 ids → ~6 farm members (doc_id % 101 == 100) in one giant cluster
+    pages = generate_pages(spark, 600, partitions=4).localCheckpoint(
+        eager=True
+    )
+    # synthetic clusters straight from the generator's ground truth: the
+    # planted cluster label is a pure function of doc_id
+    truth = pages.select(
+        "url",
+        "warc_ts",
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+    ).withColumn(
+        "cluster_id",
+        F.when(F.col("doc_id") % 101 == 100, F.lit("farm")).otherwise(
+            (F.col("doc_id") / 20).cast("long").cast("string")
+        ),
+    )
+    out = canonical_pick(
+        truth.select("url", "warc_ts"), truth.select("url", "cluster_id")
+    )
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "min_by" in plan.lower() or "minby" in plan.lower(), plan
+
+    got = {
+        r["cluster_id"]: r["url"]
+        for r in out.where("is_canonical").collect()
+    }
+    want = {
+        r["cluster_id"]: r["_champ"]
+        for r in truth.groupBy("cluster_id")
+        .agg(F.expr("min_by(url, struct(warc_ts, url))").alias("_champ"))
+        .collect()
+    }
+    assert got == want
+    # exactly one canonical per cluster, every member assigned
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon")
+    )
+    assert per.where("n_canon <> 1").count() == 0
+    assert out.count() == 600

@@ -123,6 +123,90 @@ def test_pending_batch_replay_is_idempotent(spark, tmp_path):
     assert not any(url == dup_of for url, dup_of, _, _ in replayed)
 
 
+def test_history_bands_probed_from_maintained_index(spark, tmp_path):
+    """The vs-history probe must read the persisted band index, not re-band
+    the accumulated codes table (O(|history|) kernel work per micro-batch).
+
+    Proof by corruption: after batch 0 lands, zero out minhash+simhash in
+    the *history codes* partition (keeping cid/tophash, which verification
+    uses). A later near-dup batch can then only find its vs_history
+    candidate through the band rows persisted at batch-0 time — an
+    implementation that re-derives bands from history codes sees garbage
+    signatures and finds nothing."""
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark.streaming.ingest import process_dedup_batch
+
+    state = str(tmp_path / "state_bandidx")
+    pages = generate_pages(spark, 40, partitions=2)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    # block 0: positions 0..1 are a planted duplicate pair (k=2)
+    b0 = codes.where("url like '%/p/0'")
+    b1 = codes.where("url like '%/p/1'")
+
+    process_dedup_batch(b0, 0, state)
+    assert os.path.isdir(state + "/bands/ingest_batch=0")
+
+    # corrupt the signatures in history CODES (band index stays intact)
+    corrupted = (
+        spark.read.parquet(state + "/codes")
+        .where("ingest_batch = 0")
+        .withColumn(
+            "minhash", F.transform("minhash", lambda x: F.lit(0).cast("long"))
+        )
+        .withColumn("simhash", F.lit(123456789).cast("long"))
+        .localCheckpoint(eager=True)  # break file lineage before overwrite
+    )
+    (
+        corrupted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(state + "/codes")
+    )
+
+    process_dedup_batch(b1, 1, state)
+    flags = spark.read.parquet(state + "/dup_flags")
+    hits = {
+        (r["url"], r["dup_of"])
+        for r in flags.where("src = 'vs_history'").collect()
+    }
+    assert any(
+        url.endswith("/p/1") and dup_of.endswith("/p/0") for url, dup_of in hits
+    ), hits
+    assert os.path.isdir(state + "/bands/ingest_batch=1")
+
+
+def test_read_dup_flags_empty_state(spark, tmp_path):
+    """A stream whose batches emitted zero flags leaves an empty partitioned
+    dup_flags dir; read_dup_flags must return an empty, correctly-typed
+    DataFrame instead of a schema-inference failure (and the same for a
+    state dir where no batch ran at all)."""
+    from iscc_specs_spark.streaming.ingest import (
+        FLAGS_SCHEMA,
+        process_dedup_batch,
+        read_dup_flags,
+    )
+
+    # absent state dir
+    missing = read_dup_flags(spark, str(tmp_path / "nonexistent"))
+    assert missing.count() == 0
+    assert [f.name for f in missing.schema.fields] == [
+        "url", "dup_of", "src", "ingest_batch"
+    ]
+
+    # batch of singletons only → zero flags written
+    state = str(tmp_path / "state_noflags")
+    pages = generate_pages(spark, 40, partitions=1)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    singles = codes.where(
+        "url like '%/p/15' or url like '%/p/16' or url like '%/p/17'"
+    )
+    process_dedup_batch(singles, 0, state)
+    flags = read_dup_flags(spark, state)
+    assert flags.count() == 0
+    assert flags.schema == spark.createDataFrame([], FLAGS_SCHEMA).schema
+
+
 def test_streaming_image_codes_match_batch(spark, tmp_path):
     """Image assets arriving in two micro-batch drops produce the same
     Content-ID-Image codes as one batch pass (real PNG decode kernel)."""

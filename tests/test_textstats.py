@@ -91,3 +91,25 @@ def test_extract_text_multi_paragraph(spark):
     )
     got = extract_text(df).collect()[0]["extracted_text"]
     assert got == "one\ntwo\nlines"
+
+
+def test_extract_text_malformed_utf8(spark):
+    """A crawl page with invalid UTF-8 bytes must not fail the job (ANSI
+    decode() would raise MALFORMED_CHARACTER_CODING): invalid sequences
+    decode to U+FFFD deterministically, valid pages are byte-identical."""
+    from iscc_specs_spark.operators.extraction import extract_text
+
+    bad = b"<html><body><p>ok \xff\xfe broken</p><p>tail</p></body></html>"
+    # truncated multi-byte sequence at paragraph edge
+    trunc = b"<html><body><p>caf\xc3</p></body></html>"
+    good = "<html><body><p>café</p></body></html>".encode("utf-8")
+    df = spark.createDataFrame(
+        [("u1", bad), ("u2", trunc), ("u3", good)], "url string, html binary"
+    )
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in extract_text(df).collect()
+    }
+    assert got["u1"] == "ok �� broken\ntail"
+    assert got["u2"] == "caf�"
+    assert got["u3"] == "café"
