@@ -318,6 +318,60 @@ def _q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curated(spark: SparkSession, sf_dir: str) -> str:
+    """Run the end-to-end curation plan (quality gate → dedup → canonical
+    corpus) once per process into the stage dir; returns the run dir. The
+    result is a pure function of the input tables, and the run stages its
+    own codes table (dedup/codes) for the DuckDB twins."""
+    import shutil
+
+    from iscc_specs_spark.plans.curate import run_curation
+    from iscc_specs_spark.sources.pages import pages_from_documents
+
+    out = os.path.join(_stage_dir(sf_dir), "curation")
+    key = (sf_dir, "curation")
+    if key not in _staged:
+        shutil.rmtree(out, ignore_errors=True)
+        run_curation(spark, pages_from_documents(spark, sf_dir), out)
+        _staged.add(key)
+    return out
+
+
+def _q_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final curated corpus — the end-to-end composition (quality gate ∘
+    dedup ∘ canonical pick ∘ token accounting) as one checkable row set;
+    the DuckDB twin recomputes every stage from `documents` + the staged
+    curation codes."""
+    out = _curated(spark, sf_dir)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    return corpus.select(
+        "url", "cluster_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "quality_score",
+    )
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audited funnel (docs in / dropped-by-quality / dropped-as-dup /
+    docs out / tokens out) recorded by the curation run, as a driver row —
+    the DuckDB twin re-derives all five numbers independently."""
+    import json
+
+    out = _curated(spark, sf_dir)
+    with open(os.path.join(out, "funnel.metrics.json")) as f:
+        m = json.load(f)
+    rows = [
+        (k, int(m[k]))
+        for k in (
+            "docs_in", "docs_dropped_quality", "docs_dropped_duplicate",
+            "docs_out", "tokens_out",
+        )
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
@@ -439,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "extracted_text": _q_extracted_text,
+        "curation_corpus": _q_curation_corpus,
+        "curation_funnel": _q_curation_funnel,
         "q1_pricing": _q_q1_pricing,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -514,6 +570,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_dedup": _o.streaming_dedup_sql(
             f"{stage}/stream_state/codes/*/*.parquet"
+        ),
+        "curation_corpus": _o.curation_corpus_sql(
+            f"{stage}/curation/dedup/codes/*.parquet"
+        ),
+        "curation_funnel": _o.curation_funnel_sql(
+            f"{stage}/curation/dedup/codes/*.parquet"
         ),
     }
     lang_hits = ", ".join(

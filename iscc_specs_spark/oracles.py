@@ -583,3 +583,110 @@ SELECT asset_id,
        hash_body, decode_status
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation twins (plans/curate.py:run_curation): quality gate +
+# dedup/CC/canonical + token accounting recomposed entirely in DuckDB from
+# `documents` and the run's staged codes table
+# ---------------------------------------------------------------------------
+
+def _curation_base_ctes(codes_path: str, min_quality: float) -> str:
+    """Shared CTEs: url-mapped documents, whitespace/BPE token features,
+    round-6 quality score, quality-kept set, clusters + canonical pick over
+    the staged curation codes (computed on kept pages only)."""
+    from iscc_specs_spark.operators.textstats import (
+        BPE_TOKEN_RE,
+        PUNCT_RE,
+        QUALITY_STOPWORDS,
+    )
+
+    bpe = BPE_TOKEN_RE.replace("'", "''")
+    punct = PUNCT_RE.replace("'", "''")
+    qsw = "[" + ",".join(
+        "'" + w.replace("'", "''") + "'" for w in QUALITY_STOPWORDS
+    ) + "]"
+    toks = (
+        "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END"
+    )
+    return f"""codes AS (SELECT * FROM read_parquet('{codes_path}')),
+{bands_cte()},
+{pairs_ctes()},
+{cc_ctes()},
+docs2 AS (
+    SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+           coalesce(text, '') AS text
+    FROM documents
+),
+tok AS (
+    SELECT url,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens
+    FROM docs2
+),
+qfeat AS (
+    SELECT url,
+           CAST(len(t) AS BIGINT) AS n_tok,
+           CASE WHEN length(text) > 0
+                THEN len(regexp_extract_all(text, '{punct}')) / length(text)
+                ELSE 0.0 END AS praw,
+           CAST(len(list_intersect(list_distinct(t), {qsw})) AS BIGINT) AS n_stop
+    FROM (SELECT url, text, {toks} AS t FROM docs2)
+),
+qual AS (
+    SELECT url,
+           round(0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                             THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+                 + 0.3 * least(n_stop / 5.0, 1.0), 6) AS quality_score
+    FROM qfeat
+),
+kept AS (SELECT url, quality_score FROM qual WHERE quality_score >= {min_quality}),
+canon AS (
+    SELECT c.url, l.cluster_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY c.warc_ts, c.url) AS rn
+    FROM codes c JOIN labels l USING (url)
+)"""
+
+
+def curation_corpus_sql(codes_path: str, min_quality: float = 0.35) -> str:
+    """Per-url twin of the final curated corpus: quality-kept canonical
+    cluster representatives with token accounting."""
+    base = _curation_base_ctes(codes_path, min_quality)
+    return f"""
+WITH RECURSIVE {base}
+SELECT c.url, c.cluster_id, t.n_chars, t.n_tokens, t.n_bpe_tokens,
+       k.quality_score
+FROM canon c
+JOIN tok t USING (url)
+JOIN kept k USING (url)
+WHERE c.rn = 1
+"""
+
+
+def curation_funnel_sql(codes_path: str, min_quality: float = 0.35) -> str:
+    """Audited-funnel twin: docs in → dropped by quality → dropped as
+    duplicate → docs out → tokens out, each independently recomputed."""
+    base = _curation_base_ctes(codes_path, min_quality)
+    return f"""
+WITH RECURSIVE {base},
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS docs_in,
+           (SELECT count(*) FROM qual WHERE quality_score < {min_quality})
+               AS dropped_quality,
+           (SELECT count(*) FROM kept) AS n_kept,
+           (SELECT count(*) FROM canon WHERE rn = 1) AS docs_out,
+           (SELECT sum(t.n_tokens) FROM canon c JOIN tok t USING (url)
+            WHERE c.rn = 1) AS tokens_out
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+    SELECT 'docs_in' AS metric, docs_in AS value FROM stats
+    UNION ALL SELECT 'docs_dropped_quality', dropped_quality FROM stats
+    UNION ALL SELECT 'docs_dropped_duplicate', n_kept - docs_out FROM stats
+    UNION ALL SELECT 'docs_out', docs_out FROM stats
+    UNION ALL SELECT 'tokens_out', tokens_out FROM stats
+)
+"""
