@@ -219,6 +219,73 @@ def run_pipeline_only(cores: int, n_docs: int, scale_words: int = 4) -> dict:
     }
 
 
+def run_recall(cores: int, n_docs: int, scale_words: int = 4) -> dict:
+    """Dup-pair recall/precision vs the generator's PLANTED ground truth
+    (sources/pages.py: the cluster label is a pure function of doc_id), at
+    ladder scale — complements T3, which asserts recall vs the brute-force
+    verification predicate at test scale.
+
+    Pair counts come from the cluster/truth contingency table
+    (Σ C(n,2) per cell), so the farm mega-cluster's ~n²/2 truth pairs are
+    counted without enumerating them."""
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark.operators import lsh
+    from iscc_specs_spark.operators.cluster import assign_clusters
+    from iscc_specs_spark.operators.codegen import compute_codes
+    from iscc_specs_spark.sources.pages import generate_pages
+
+    spark = _spark(cores)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    pages = generate_pages(
+        spark, n_docs, partitions=128, scale_words=scale_words
+    ).localCheckpoint(eager=True)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    clusters = assign_clusters(
+        codes.select("url"), lsh.dup_pairs(codes)
+    ).localCheckpoint(eager=True)
+
+    # planted truth label, recomputed from doc_id (generator is pure)
+    doc_id = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    block = F.floor(doc_id / 20).cast("long")
+    truth = pages.select(
+        "url",
+        F.when(doc_id % 101 == 100, F.lit("farm"))
+        .when(doc_id % 211 == 210, F.lit("empty"))
+        .when(
+            (doc_id % 20) < (F.lit(2) + block % 7),
+            F.concat(F.lit("c"), (block * 20).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("s"), doc_id.cast("string")))
+        .alias("t_label"),
+    )
+    joint = clusters.join(truth, "url").localCheckpoint(eager=True)
+
+    def npairs(keys: list[str]) -> int:
+        return int(
+            joint.groupBy(*keys)
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"))
+            .collect()[0]["p"]
+        )
+
+    matched = npairs(["cluster_id", "t_label"])
+    truth_pairs = npairs(["t_label"])
+    pred_pairs = npairs(["cluster_id"])
+    out = {
+        "n_docs": n_docs,
+        "cores": cores,
+        "scale_words": scale_words,
+        "truth_pairs": truth_pairs,
+        "pred_pairs": pred_pairs,
+        "matched_pairs": matched,
+        "recall": round(matched / truth_pairs, 5),
+        "precision": round(matched / pred_pairs, 5),
+    }
+    spark.stop()
+    return out
+
+
 def run_scaling(n_docs: int) -> None:
     """N→4N evidence at two ladder rungs: 4→16 and 8→32 cores.
 
@@ -347,6 +414,14 @@ def main() -> None:
         cores = int(args[args.index("--cores") + 1]) if "--cores" in args else 8
         docs = int(args[args.index("--docs") + 1]) if "--docs" in args else 100000
         print(json.dumps(run_pipeline_only(cores, docs)))
+        return
+    if "--recall" in args:
+        cores = int(args[args.index("--cores") + 1]) if "--cores" in args else 32
+        docs = int(args[args.index("--docs") + 1]) if "--docs" in args else 400000
+        res = run_recall(cores, docs)
+        with open(os.path.join(REPO, "RECALL.json"), "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res))
         return
     if "--scaling" in args:
         docs = int(args[args.index("--docs") + 1]) if "--docs" in args else 100000

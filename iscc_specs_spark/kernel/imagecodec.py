@@ -1,8 +1,8 @@
-"""Deterministic pure-stdlib decoders for PNG and GIF.
+"""Deterministic pure-stdlib decoders for PNG, GIF and JPEG.
 
-Implements the two fully-deterministic image formats from their public
-specifications so ``image_normalize`` (reference iscc.py:214-228) can run
-end-to-end on the golden-vector fixtures without any codec library:
+Implements the image formats from their public specifications so
+``image_normalize`` (reference iscc.py:214-228) can run end-to-end on the
+golden-vector fixtures without any codec library:
 
 * PNG per the W3C PNG specification (RFC 2083): chunk parsing, zlib
   inflate of IDAT, scanline unfiltering (None/Sub/Up/Average/Paeth),
@@ -10,12 +10,13 @@ end-to-end on the golden-vector fixtures without any codec library:
 * GIF87a/89a per the GIF specification: logical screen descriptor,
   global/local color tables, LZW decompression, first image frame,
   including the interlaced row order.
-
-JPEG is intentionally NOT implemented: the ISCC spec itself warns that
-JPEG decoding is implementation-defined (libjpeg versions differ in IDCT
-rounding — docs/specification.md:243-244 in the reference), so a
-"deterministic JPEG" would be a lie.  ``decode_image`` raises
-``NotImplementedError`` for JPEG bytes.
+* JPEG per ITU-T T.81 baseline + progressive (kernel/jpegcodec.py): the
+  spec warns IDCT rounding is implementation-defined (reference
+  docs/specification.md:243-244), so the decoder pins ONE deterministic
+  choice — the integer fixed-point "islow" IDCT + fixed-point YCbCr
+  algorithms that libjpeg's integer paths define — which reproduces the
+  PIL-produced golden vectors bit-for-bit (tests/test_conformance.py,
+  43/43 including both JPEG-input cases).
 
 Returned pixels are ``(mode, np.ndarray)``: mode in {"L", "LA", "RGB",
 "RGBA", "P"}; array is H×W (L/P) or H×W×C uint8.  "P" additionally
@@ -312,18 +313,16 @@ def decode_gif(data: bytes):
 
 
 def decode_image(data: bytes):
-    """bytes → (mode, pixels, palette|None); JPEG raises (see module doc)."""
+    """bytes → (mode, pixels, palette|None)."""
     kind = sniff(data)
     if kind == "png":
         return decode_png(data)
     if kind == "gif":
         return decode_gif(data)
     if kind == "jpeg":
-        raise NotImplementedError(
-            "JPEG decoding is implementation-defined (IDCT rounding differs "
-            "across libjpeg builds; reference docs/specification.md:243-244) "
-            "and is intentionally not implemented"
-        )
+        from iscc_specs_spark.kernel.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError("unrecognized image format")
 
 

@@ -44,11 +44,11 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an encoded image to a grayscale pixel matrix.
 
-    PNG and GIF decode for real via the pure-stdlib deterministic decoders
-    in kernel/imagecodec.py (zlib inflate + unfilter / LZW). JPEG raises
-    NotImplementedError — its decode is implementation-defined (IDCT
-    rounding varies across libjpeg builds), so a "deterministic JPEG"
-    cannot honestly exist without vendoring a specific codec build.
+    PNG, GIF and JPEG decode for real via the pure-stdlib deterministic
+    decoders in kernel/imagecodec.py + kernel/jpegcodec.py (zlib inflate +
+    unfilter / LZW / progressive Huffman + integer islow IDCT) —
+    bit-identical to the PIL-produced golden vectors for all three
+    formats.
     """
     from iscc_specs_spark.kernel.imagecodec import decode_image as _dec
     from iscc_specs_spark.kernel.images import to_grayscale
@@ -143,8 +143,7 @@ def image_codes(assets: DataFrame) -> DataFrame:
     hash_body, decode_status) — hash_body is the signed-64 digest for
     SQL-side re-derivation of the encoded forms; decode_status separates
     real decodes ('ok') from stand-ins and the NULL-code failure classes
-    ('null_payload' / 'jpeg_descoped' / 'unsupported' / 'too_large' /
-    'corrupt').
+    ('null_payload' / 'unsupported' / 'too_large' / 'corrupt').
     """
     from iscc_specs_spark.kernel.imagecodec import sniff
     from iscc_specs_spark.kernel.images import image_hash, image_normalize
@@ -162,12 +161,8 @@ def image_codes(assets: DataFrame) -> DataFrame:
         raw = bytes(payload)
         kind = sniff(raw)
         try:
-            if kind in ("png", "gif"):
+            if kind in ("png", "gif", "jpeg"):
                 pixels, status = image_normalize(raw), "ok"
-            elif kind == "jpeg":
-                # decode is implementation-defined (kernel/imagecodec.py):
-                # refuse rather than hash compressed bytes as pixels
-                return (None, None, None, "jpeg_descoped")
             else:
                 # unrecognized bytes: deterministic byte-tiled stand-in so
                 # synthetic/opaque payloads still exercise the plumbing

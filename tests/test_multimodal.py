@@ -8,10 +8,28 @@ from iscc_specs_spark.operators import multimodal as M
 
 
 def test_decode_stubs_raise():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # real JFIF magic
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # corrupt JPEG stream
     with pytest.raises(NotImplementedError):
         M.sample_frames(b"fakevideo")
+
+
+def test_decode_image_real_jpeg():
+    """Progressive JPEG decodes bit-identically to the PIL-produced golden
+    vector (the formerly-descoped conformance cases)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from iscc_specs_spark.kernel.images import image_normalize
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures")
+    data = open(os.path.join(fx, "file_image_cat.jpg"), "rb").read()
+    want = json.load(open(os.path.join(fx, "test_data.json")))[
+        "image_normalize"
+    ]["test_001_file_image_cat_jpg"]["outputs"]
+    assert image_normalize(data) == want
 
 
 def test_decode_image_real_png():
@@ -87,11 +105,15 @@ def test_image_codes_corrupt_payload_yields_null(spark):
         (0, "image", bytes(ok)),
         (1, "image", bytes(ok[:30])),            # truncated PNG
         (2, "image", None),                      # NULL payload
-        (3, "image", b"\xff\xd8\xff\xe0jpeg.."),  # JPEG: decode descoped
+        (3, "image", b"\xff\xd8\xff\xe0jpeg.."),  # truncated JPEG stream
+        (4, "image", open(
+            __file__.rsplit("/", 1)[0] + "/fixtures/file_image_cat.jpg", "rb"
+        ).read()),                                # real progressive JPEG
     ]
     df = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
     got = {r["asset_id"]: r for r in M.image_codes(df).collect()}
     assert got[0]["image_cid"] is not None and got[0]["decode_status"] == "ok"
-    for aid, status in ((1, "corrupt"), (2, "null_payload"), (3, "jpeg_descoped")):
+    assert got[4]["image_cid"] is not None and got[4]["decode_status"] == "ok"
+    for aid, status in ((1, "corrupt"), (2, "null_payload"), (3, "corrupt")):
         assert got[aid]["image_cid"] is None and got[aid]["hash_body"] is None
         assert got[aid]["decode_status"] == status, aid
