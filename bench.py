@@ -335,6 +335,27 @@ def run_scaling(n_docs: int) -> None:
         f"| local[{c}] | {r['wall_sec']} | {r['docs_per_sec']} |"
         for c, r in sorted(results.items())
     )
+    recall_md = ""
+    recall_path = os.path.join(REPO, "RECALL.json")
+    if os.path.exists(recall_path):
+        with open(recall_path) as f:
+            rc = json.load(f)
+        recall_md = (
+            "## Recall at ladder scale\n\n"
+            "`python bench.py --recall --docs "
+            f"{rc['n_docs']}` — dup-pair recall/precision vs the generator's"
+            " PLANTED ground truth (cluster label is a pure function of"
+            " doc_id), measured on the same corpus size as the scaling"
+            f" ladder: **recall {rc['recall']}, precision {rc['precision']}**"
+            f" over {rc['truth_pairs']:,} truth pairs /"
+            f" {rc['pred_pairs']:,} predicted pairs at {rc['n_docs']:,} docs"
+            " (north-rule target ≥ 0.99; includes the ~1%-of-corpus"
+            " template-farm mega-cluster's ~n²/2 pairs, counted via the"
+            " cluster/truth contingency table). T3"
+            " (tests/test_pipeline.py) additionally asserts ≥0.99 recall"
+            " AND precision against the brute-force verification predicate"
+            " at test scale.\n\n"
+        )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — scaling evidence (north rule: ≥0.8 efficiency N→4N)\n\n"
@@ -396,6 +417,7 @@ def run_scaling(n_docs: int) -> None:
             " measured A/B); production sessions keep AQE on (session.py)."
             " Skew handling in the operators (bucket caps, exact-dup"
             " pre-collapse, df caps) does not depend on AQE.\n\n"
+            f"{recall_md}"
             "## Headline throughput\n\n"
             "`python bench.py` runs the headline operator suite at"
             " `$SPARK_GRAFT_SF_DIR` and prints one JSON line including"

@@ -164,15 +164,18 @@ def start_incremental_dedup_stream(
       1. codes for the new pages (same Arrow-vectorized stage as batch);
       2. within-batch dup pairs via the standard ``lsh.dup_pairs``;
       3. batch-vs-history candidates: the *new* batch's band keys join the
-         historical band table — the new side is tiny, so Spark broadcasts
-         it and history streams through; verification is the same native
-         Hamming predicate.  (At warehouse scale the historical band table
-         is a maintained index bucketed by (band_id, band_hash) so this
-         probe prunes partitions instead of scanning.)
-      4. append codes to ``state_dir/codes`` and flags to
-         ``state_dir/dup_flags``, each into an ``ingest_batch=<id>``
-         partition with dynamic overwrite — a replayed batch overwrites
-         itself, so the stream stays exactly-once end-to-end.
+         MAINTAINED band index at ``state_dir/bands`` (appended batch by
+         batch — history codes are never re-banded, so per-batch kernel
+         work stays O(|batch|) regardless of corpus age) — the new side is
+         tiny, so Spark broadcasts it and the index streams through;
+         verification is the same native Hamming predicate.  (At warehouse
+         scale the index is additionally bucketed by (band_id, band_hash)
+         so the probe prunes files instead of scanning partitions.)
+      4. append codes to ``state_dir/codes``, flags to
+         ``state_dir/dup_flags`` and band rows to ``state_dir/bands``,
+         each into an ``ingest_batch=<id>`` partition with dynamic
+         overwrite — a replayed batch overwrites itself, so the stream
+         stays exactly-once end-to-end.
 
     Flags schema: (url, dup_of, src, ingest_batch) — ``dup_of`` is the
     matched earlier url (within-batch matches point to the pair minimum).
@@ -336,3 +339,34 @@ def process_dedup_batch(
             .partitionBy("ingest_batch")
             .parquet(f"{state_dir}/{sub}")
         )
+
+
+def curate_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Periodic curation over the accumulated streaming state — the bridge
+    between the streaming and batch surfaces.
+
+    The incremental dup flags ARE an edge list (url → dup_of, one edge per
+    detected duplicate relation, intra-batch and vs-history alike), so the
+    global canonical corpus is recovered by running the batch engine's own
+    operators over the state tables:
+
+        codes(state) + flags-as-edges → connected components →
+        canonical_pick (skew-free min_by on (warc_ts, url))
+
+    Returns (url, cluster_id, is_canonical): every ingested url with its
+    duplicate cluster and whether it is the cluster's canonical
+    representative (the oldest (warc_ts, url) member, matching
+    plans/dedup.py §④). Run after any micro-batch to get the
+    curated-corpus delta without waiting for a global batch job; a
+    rerun over unchanged state is deterministic.
+    """
+    from iscc_specs_spark.operators.cluster import assign_clusters
+    from iscc_specs_spark.plans.dedup import canonical_pick
+
+    codes = spark.read.parquet(f"{state_dir}/codes")
+    flags = read_dup_flags(spark, state_dir)
+    edges = flags.select(
+        F.col("url").alias("url_a"), F.col("dup_of").alias("url_b")
+    )
+    clusters = assign_clusters(codes.select("url"), edges)
+    return canonical_pick(codes.select("url", "warc_ts"), clusters)

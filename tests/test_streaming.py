@@ -246,3 +246,36 @@ def test_streaming_image_codes_match_batch(spark, tmp_path):
         r["asset_id"]: r["image_cid"] for r in image_codes(assets).collect()
     }
     assert got == want and len(got) == 10  # every 3rd of 30 is an image
+
+
+def test_curate_state_matches_batch_clusters(spark, tmp_path):
+    """Curation over accumulated streaming state produces the same cluster
+    partition and the same canonical picks as the batch pipeline on the
+    identical corpus (edge sets differ — incremental vs global banding —
+    but the induced partition must agree on this fixture)."""
+    from iscc_specs_spark.operators.cluster import assign_clusters
+    from iscc_specs_spark.operators import lsh
+    from iscc_specs_spark.plans.dedup import canonical_pick
+    from iscc_specs_spark.streaming.ingest import (
+        curate_state,
+        process_dedup_batch,
+    )
+
+    state = str(tmp_path / "state_curate")
+    pages = generate_pages(spark, 60, partitions=2)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    parity = "cast(regexp_extract(url, '(\\\\d+)$', 1) as long) % 2"
+    process_dedup_batch(codes.where(f"{parity} = 0"), 0, state)
+    process_dedup_batch(codes.where(f"{parity} = 1"), 1, state)
+
+    got = curate_state(spark, state)
+    want = canonical_pick(
+        codes.select("url", "warc_ts"),
+        assign_clusters(codes.select("url"), lsh.dup_pairs(codes)),
+    )
+    g = {r["url"]: (r["cluster_id"], r["is_canonical"]) for r in got.collect()}
+    w = {r["url"]: (r["cluster_id"], r["is_canonical"]) for r in want.collect()}
+    assert set(g) == set(w) and len(g) == 60
+    # same partition: same cluster label (both use min-url labels) and the
+    # same canonical member per cluster
+    assert g == w
