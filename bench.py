@@ -95,19 +95,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     qs["substring_matches"] = _substring_prod
 
-    # bench the exact-cosine operator at its PRODUCTION scope: it is the
-    # documented quadratic *verifier* (dedup_variants.py — at scale it runs
-    # only over bounded candidate sets; the LSH sibling is the full-corpus
-    # scale path and is benched as such above). Cap the brute-force input
-    # at 2000 vectors ≈ a large verification batch; the uncapped full-table
-    # cartesian remains solely the DuckDB-oracled correctness query.
+    # bench the exact-cosine verifier via its PRODUCTION implementation:
+    # distributed blocked GEMM (Arrow + float64 matmul per tile pair)
+    # instead of the per-pair interpreted SQL fold. Pair semantics are
+    # identical; the SQL sibling stays pinned as the DuckDB-oracled
+    # correctness query because BLAS summation order can shift the last
+    # ulp before round-6 (same pattern as substring md5-oracle vs
+    # xxh64-production).
     def _embedding_neardup_verify(s, sf_dir_):
         from iscc_specs_spark.operators.dedup_variants import (
-            embedding_neardup_pairs,
+            embedding_neardup_pairs_gemm,
         )
 
-        emb = entrymod._emb(s, sf_dir_).where(F.col("vec_id") < 2000)
-        return embedding_neardup_pairs(emb, threshold=0.4)
+        return embedding_neardup_pairs_gemm(
+            entrymod._emb(s, sf_dir_), threshold=0.4
+        )
 
     qs["embedding_neardup"] = _embedding_neardup_verify
 

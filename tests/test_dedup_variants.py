@@ -60,3 +60,40 @@ def test_embedding_neardup(spark):
            for x in D.embedding_neardup_pairs(df, threshold=0.95).collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.99
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_embedding_neardup_gemm_matches_sql(spark):
+    """The blocked-GEMM production verifier finds exactly the SQL sibling's
+    pair set, with cosines equal to within one round-6 ulp (BLAS reorders
+    the dot-product summation). Exercised across tile boundaries."""
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark.operators.dedup_variants import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sql_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    # block=64 forces many tile pairs (incl. off-diagonal) on the test table
+    gemm_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_gemm(
+            emb, threshold=0.4, block=64
+        ).collect()
+    }
+    assert set(sql_pairs) == set(gemm_pairs)
+    assert sql_pairs  # fixture must produce pairs
+    for k in sql_pairs:
+        assert abs(sql_pairs[k] - gemm_pairs[k]) <= 1e-6, k
+    # zero-norm vectors must be excluded, not NaN-propagated
+    withzero = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame(
+            [(99990, [0.0] * 64)], "vec_id long, embedding array<double>"
+        ).select("vec_id", F.col("embedding").cast("array<float>"))
+    )
+    z = embedding_neardup_pairs_gemm(withzero, threshold=0.4, block=64)
+    assert not [r for r in z.collect() if 99990 in (r["vec_a"], r["vec_b"])]
