@@ -471,8 +471,10 @@ def streaming_dedup_sql(
 
     Per batch: intra flags = lsh.dup_pairs within the batch (cold C(k,2) +
     hot hub-and-spoke + exact tophash pairs, flag url_b); cross flags = the
-    batch's per-tophash representatives band-joined against ALL rows of
-    strictly earlier batches, Hamming/tophash-verified, flag the new url.
+    batch's per-tophash representatives band-joined against strictly
+    earlier batches with the hot-bucket cap (history buckets over
+    bucket_cap rows route through their min-url hub instead of emitting
+    every member), Hamming/tophash-verified, flag the new url.
     The Spark query replays the last batch before reading the state, so any
     replay non-idempotence (e.g. self-matches against the batch's own prior
     write) shows up as a hash mismatch against this twin."""
@@ -543,10 +545,33 @@ husim AS (SELECT *, {unsigned64('simhash')} AS usim FROM codes),
 hb AS (SELECT ingest_batch, url, unnest([{structs}]) AS b FROM husim),
 hbands AS (SELECT ingest_batch, url, b.band_id AS band_id,
                   b.band_key AS band_key FROM hb),
+new_keys AS (SELECT DISTINCT ingest_batch, band_id, band_key FROM sbands),
+hmatch AS (
+    SELECT k.ingest_batch AS nbatch, h.band_id, h.band_key, h.url
+    FROM new_keys k
+    JOIN hbands h ON h.band_id = k.band_id AND h.band_key = k.band_key
+                 AND h.ingest_batch < k.ingest_batch
+),
+hsized AS (
+    SELECT nbatch, band_id, band_key, count(*) AS n, min(url) AS hub
+    FROM hmatch GROUP BY 1, 2, 3
+),
+cross_cold AS (
+    SELECT DISTINCT s.ingest_batch, s.url AS url_a, m.url AS url_b
+    FROM sbands s
+    JOIN hsized z ON z.nbatch = s.ingest_batch AND z.band_id = s.band_id
+                 AND z.band_key = s.band_key AND z.n <= {bucket_cap}
+    JOIN hmatch m ON m.nbatch = s.ingest_batch AND m.band_id = s.band_id
+                 AND m.band_key = s.band_key
+),
+cross_hot AS (
+    SELECT DISTINCT s.ingest_batch, s.url AS url_a, z.hub AS url_b
+    FROM sbands s
+    JOIN hsized z ON z.nbatch = s.ingest_batch AND z.band_id = s.band_id
+                 AND z.band_key = s.band_key AND z.n > {bucket_cap}
+),
 cross_cand AS (
-    SELECT DISTINCT n.ingest_batch, n.url AS url_a, h.url AS url_b
-    FROM sbands n JOIN hbands h USING (band_id, band_key)
-    WHERE h.ingest_batch < n.ingest_batch
+    SELECT * FROM cross_cold UNION SELECT * FROM cross_hot
 ),
 cross_flags AS (
     SELECT c.url_a AS url, c.url_b AS dup_of, 'vs_history' AS src,

@@ -296,12 +296,46 @@ def process_dedup_batch(
             hb = spark.read.parquet(f"{state_dir}/bands").where(
                 F.col("ingest_batch") < F.lit(batch_id)
             ).select("url", "band_id", "band_hash")
+        # vs-history candidates with the engine-standard hot-bucket cap:
+        # restrict the index to the new batch's band keys first (semi-join
+        # — each history row matches once per key, NOT once per new url),
+        # size the matched buckets map-side, then
+        #   cold buckets (≤ bucket_cap rows): every (new, hist) pair;
+        #   hot buckets: route new members to the bucket's min-url hub
+        # so a template-farm band key costs O(|new|) candidates per batch
+        # instead of O(|new| × |hist_bucket|) — without this the per-batch
+        # candidate volume grows linearly with the mega-cluster's age.
+        nbn = F.broadcast(nb.withColumnRenamed("url", "new_url"))
+        new_keys = nb.select("band_id", "band_hash").dropDuplicates()
+        hb_new = hb.join(F.broadcast(new_keys), ["band_id", "band_hash"])
+        sized = (
+            hb_new.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_n"), F.min("url").alias("_hub"))
+            .localCheckpoint(eager=True)  # tiny; consumed by both branches
+        )
+        cold = (
+            hb_new.join(
+                F.broadcast(
+                    sized.where(F.col("_n") <= bucket_cap)
+                    .select("band_id", "band_hash")
+                ),
+                ["band_id", "band_hash"],
+            )
+            .join(nbn, ["band_id", "band_hash"])
+            .select(
+                F.col("new_url").alias("url_a"), F.col("url").alias("url_b")
+            )
+        )
+        hot = (
+            sized.where(F.col("_n") > bucket_cap)
+            .join(nbn, ["band_id", "band_hash"])
+            .select(
+                F.col("new_url").alias("url_a"), F.col("_hub").alias("url_b")
+            )
+        )
         cand = (
-            hb.join(F.broadcast(nb.withColumnRenamed("url", "new_url")),
-                    ["band_id", "band_hash"])
-            .select(F.col("new_url").alias("url_a"),
-                    F.col("url").alias("url_b"),
-                    F.lit("lsh").alias("src"))
+            cold.unionByName(hot)
+            .withColumn("src", F.lit("lsh"))
             .dropDuplicates(["url_a", "url_b"])
         )
         both = new_slim.select(

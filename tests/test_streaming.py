@@ -279,3 +279,40 @@ def test_curate_state_matches_batch_clusters(spark, tmp_path):
     # same partition: same cluster label (both use min-url labels) and the
     # same canonical member per cluster
     assert g == w
+
+
+def test_cross_history_hot_bucket_hub_routed(spark, tmp_path):
+    """A history band bucket over bucket_cap routes new members to the
+    bucket's min-url hub instead of emitting one candidate per history
+    member — per-batch candidate volume stays O(|new|) as a mega-cluster
+    ages. Verified with a fabricated 100-member identical-signature
+    history bucket and cap 64."""
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark.streaming.ingest import process_dedup_batch
+
+    state = str(tmp_path / "state_hot")
+    mh = list(range(64))  # identical minhash → identical band keys
+
+    def mk(urls, cid):
+        rows = [
+            (u, cid, 7777, mh, f"top_{u}", None) for u in urls
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, cid_body long, simhash long, minhash array<long>, "
+            "tophash string, warc_ts timestamp",
+        )
+
+    hist_urls = [f"https://h.example/p/{i:04d}" for i in range(100)]
+    process_dedup_batch(mk(hist_urls, cid=5), 0, state, bucket_cap=64)
+    process_dedup_batch(
+        mk(["https://new.example/p/1"], cid=5), 1, state, bucket_cap=64
+    )
+
+    flags = spark.read.parquet(state + "/dup_flags").where(
+        "src = 'vs_history'"
+    )
+    got = [(r["url"], r["dup_of"]) for r in flags.collect()]
+    # exactly ONE flag, routed to the bucket hub (min history url)
+    assert got == [("https://new.example/p/1", hist_urls[0])], got
