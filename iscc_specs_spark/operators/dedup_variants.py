@@ -337,17 +337,34 @@ def embedding_neardup_lsh(
     hot_keys = sizes.where(F.col("bucket_n") > bucket_cap).select("t", "h")
     cold = bucketed.join(F.broadcast(hot_keys), ["t", "h"], "left_anti")
 
-    a = cold.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "t", "h",
-    )
-    b = cold.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "t", "h",
+    # candidate generation ships KEYS ONLY through the band self-join (the
+    # 64-double vector payload would multiply shuffle bytes ~10×), and
+    # scoring happens exactly once per UNIQUE candidate pair after the
+    # dedup — previously each pair was cosine-scored once per shared
+    # bucket (up to ntables×), and the interpreted fold is the expensive
+    # part (~50 µs/pair).
+    cand_cold = (
+        cold.select(F.col("vec_id").alias("vec_a"), "t", "h")
+        .join(cold.select(F.col("vec_id").alias("vec_b"), "t", "h"), ["t", "h"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
     )
     pairs_cold = (
-        a.join(b, ["t", "h"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        cand_cold.join(
+            e.select(
+                F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
         .select(
             "vec_a",
             "vec_b",
