@@ -9,10 +9,13 @@ over the ``documents`` / ``embeddings`` tables:
                             Jaccard (the verifier LSH approximates)
   * embedding near-dup    — cosine similarity over array<float> embeddings
 
-All native Spark SQL (no Python UDFs). Exact Jaccard is intentionally the
-*verification* path: at 100 TB you run MinHash-LSH (operators/lsh.py) to get
-candidates and this operator only on the candidate set; here it is also
-exposed stand-alone so the DuckDB oracle can check it end-to-end.
+Native Spark SQL except the blocked-GEMM verifier
+(``embedding_neardup_pairs_gemm`` — one Arrow-batched float64 matmul per
+vector-tile pair, the production implementation of the exact cosine
+verifier). Exact Jaccard is intentionally the *verification* path: at
+100 TB you run MinHash-LSH (operators/lsh.py) to get candidates and this
+operator only on the candidate set; here it is also exposed stand-alone so
+the DuckDB oracle can check it end-to-end.
 
 Scale notes: ``exact_dups`` is one shuffle on the fingerprint (map-side
 partial agg). ``ngram_jaccard_pairs`` shuffles on shingle — hot shingles are
