@@ -262,6 +262,9 @@ def decode_jpeg(data: bytes):
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
