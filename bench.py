@@ -235,32 +235,22 @@ def run_recall(cores: int, n_docs: int, scale_words: int = 4) -> dict:
     from iscc_specs_spark.operators import lsh
     from iscc_specs_spark.operators.cluster import assign_clusters
     from iscc_specs_spark.operators.codegen import compute_codes
-    from iscc_specs_spark.sources.pages import generate_pages
+    from iscc_specs_spark.sources.pages import generate_pages_with_truth
 
     spark = _spark(cores)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    pages = generate_pages(
+    # truth comes from the generator's OWN cluster_id column (the same
+    # _row function that synthesizes the pages — no re-derived labeling
+    # that could drift from the planted structure)
+    with_truth = generate_pages_with_truth(
         spark, n_docs, partitions=128, scale_words=scale_words
     ).localCheckpoint(eager=True)
+    truth = with_truth.select("url", F.col("cluster_id").alias("t_label"))
+    pages = with_truth.drop("cluster_id", "edit_class")
     codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
     clusters = assign_clusters(
         codes.select("url"), lsh.dup_pairs(codes)
     ).localCheckpoint(eager=True)
-
-    # planted truth label, recomputed from doc_id (generator is pure)
-    doc_id = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
-    block = F.floor(doc_id / 20).cast("long")
-    truth = pages.select(
-        "url",
-        F.when(doc_id % 101 == 100, F.lit("farm"))
-        .when(doc_id % 211 == 210, F.lit("empty"))
-        .when(
-            (doc_id % 20) < (F.lit(2) + block % 7),
-            F.concat(F.lit("c"), (block * 20).cast("string")),
-        )
-        .otherwise(F.concat(F.lit("s"), doc_id.cast("string")))
-        .alias("t_label"),
-    )
     joint = clusters.join(truth, "url").localCheckpoint(eager=True)
 
     def npairs(keys: list[str]) -> int:

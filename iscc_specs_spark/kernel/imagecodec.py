@@ -153,7 +153,10 @@ def decode_png(data: bytes):
     if colortype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {colortype}")
     bpp = _PNG_CHANNELS[colortype]
-    raw = zlib.decompress(b"".join(idat))
+    # cap inflate output at the exact raw size the (guarded) IHDR dims
+    # imply — a crafted IDAT cannot expand past it (zlib-bomb guard)
+    want = height * (width * bpp + 1)
+    raw = zlib.decompressobj().decompress(b"".join(idat), want)
     mat = _png_unfilter(raw, width, height, bpp)
     mode = _PNG_MODE[colortype]
     if bpp > 1:
@@ -165,7 +168,9 @@ def decode_png(data: bytes):
 # GIF
 # ---------------------------------------------------------------------------
 
-def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+def _lzw_decode(
+    min_code_size: int, data: bytes, max_out: int | None = None
+) -> bytes:
     """GIF LZW decompression (GIF89a spec appendix F)."""
     clear = 1 << min_code_size
     end = clear + 1
@@ -214,6 +219,10 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
             table.append(entry)
         out += entry
         prev = entry
+        if max_out is not None and len(out) >= max_out:
+            # frame fully decoded (or bomb): never inflate past the
+            # guarded frame size
+            return bytes(out[:max_out])
         if len(table) >= (1 << width) and width < 12:
             width += 1
     return bytes(out)
@@ -252,6 +261,10 @@ def decode_gif(data: bytes):
             pos += 1
         elif block == 0x2C:  # image descriptor
             left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            if w * h > MAX_DECODE_PIXELS:
+                raise ImageTooLarge(
+                    f"GIF frame {w}x{h} exceeds decode-size guard"
+                )
             ipacked = data[pos + 9]
             pos += 10
             palette = gct
@@ -271,7 +284,7 @@ def decode_gif(data: bytes):
                 pos += 1 + ln
             pos += 1
             idx = np.frombuffer(
-                _lzw_decode(min_code_size, b"".join(chunks))[: w * h],
+                _lzw_decode(min_code_size, b"".join(chunks), max_out=w * h),
                 dtype=np.uint8,
             ).reshape(h, w)
             if interlaced:

@@ -401,18 +401,16 @@ def _decode_scan(br, scomps, comps, ss, se, ah, al, progressive,
         c.pred = 0
     eobrun = 0
 
-    if interleaved or (len(scomps) == len(comps) == 1 and not progressive):
-        hmax = max(c.h for c in comps)
-        vmax = max(c.v for c in comps)
-        if len(scomps) == 1:
-            c = scomps[0]
-            n_mcus = c.bw * c.bh
-        else:
-            n_mcus = (comps[0].bw_alloc // comps[0].h) * (
-                comps[0].bh_alloc // comps[0].v
-            )
+    if interleaved:
+        n_mcus = (comps[0].bw_alloc // comps[0].h) * (
+            comps[0].bh_alloc // comps[0].v
+        )
         mcus_w = comps[0].bw_alloc // comps[0].h
     else:
+        # non-interleaved scan (T.81 A.2): one data unit per MCU, scanned
+        # in the component's OWN block grid — NOT the frame MCU stride
+        # (a single-component frame may still declare sampling factors
+        # > 1; its grid is ceil(cw/8) since h == hmax for it)
         c = scomps[0]
         n_mcus = c.bw * c.bh
         mcus_w = c.bw

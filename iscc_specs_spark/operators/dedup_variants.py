@@ -239,9 +239,7 @@ def embedding_neardup_pairs_gemm(
     def score(batches):
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
-            for rows_a, rows_b, same in zip(
-                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"] == pdf["blk_b"]
-            ):
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
                 ids_a = np.array([r["vec_id"] for r in rows_a], dtype=np.int64)
                 ids_b = np.array([r["vec_id"] for r in rows_b], dtype=np.int64)
                 ma = np.array([r["v"] for r in rows_a], dtype=np.float64)

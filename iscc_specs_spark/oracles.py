@@ -265,7 +265,10 @@ indep AS (
     FROM docs2
 )
 SELECT s.url,
-       concat_ws('-', s.meta_id, s.content_id, s.data_id, s.instance_id) AS iscc,
+       -- || is NULL-strict, matching functions.iscc_compose (a missing
+       -- component yields NULL, never a shortened 3-segment code)
+       s.meta_id || '-' || s.content_id || '-' || s.data_id || '-'
+           || s.instance_id AS iscc,
        s.meta_id, s.content_id, s.data_id, s.instance_id,
        s.tophash, s.simhash, i.n_features, i.n_bytes
 FROM staged s JOIN indep i USING (url)

@@ -150,23 +150,13 @@ def test_canonical_pick_minby_no_window(spark):
     from pyspark.sql import functions as F
 
     from iscc_specs_spark.plans.dedup import canonical_pick
+    from iscc_specs_spark.sources.pages import generate_pages_with_truth
 
-    # 600 ids → ~6 farm members (doc_id % 101 == 100) in one giant cluster
-    pages = generate_pages(spark, 600, partitions=4).localCheckpoint(
-        eager=True
-    )
-    # synthetic clusters straight from the generator's ground truth: the
-    # planted cluster label is a pure function of doc_id
-    truth = pages.select(
-        "url",
-        "warc_ts",
-        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
-    ).withColumn(
-        "cluster_id",
-        F.when(F.col("doc_id") % 101 == 100, F.lit("farm")).otherwise(
-            (F.col("doc_id") / 20).cast("long").cast("string")
-        ),
-    )
+    # 600 ids → ~6 farm members (doc_id % 101 == 100) in one giant
+    # cluster; clusters come straight from the generator's ground truth
+    truth = generate_pages_with_truth(
+        spark, 600, partitions=4
+    ).select("url", "warc_ts", "cluster_id").localCheckpoint(eager=True)
     out = canonical_pick(
         truth.select("url", "warc_ts"), truth.select("url", "cluster_id")
     )
