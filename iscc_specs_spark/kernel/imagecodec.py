@@ -6,7 +6,7 @@ golden-vector fixtures without any codec library:
 
 * PNG per the W3C PNG specification (RFC 2083): chunk parsing, zlib
   inflate of IDAT, scanline unfiltering (None/Sub/Up/Average/Paeth),
-  bit depth 8, color types 0/2/3/4/6, non-interlaced.
+  bit depth 8, color types 0/2/3/4/6, progressive and Adam7-interlaced.
 * GIF87a/89a per the GIF specification: logical screen descriptor,
   global/local color tables, LZW decompression, first image frame,
   including the interlaced row order.
@@ -124,8 +124,17 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes):
-    """→ (mode, pixels, palette|None). Bit depth 8, non-interlaced."""
+    """→ (mode, pixels, palette|None). Bit depth 8; Adam7 interlacing
+    supported (lossless pass reassembly — bit-identical to a progressive
+    decoder's final output)."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, idat, palette = 8, [], None
@@ -146,18 +155,39 @@ def decode_png(data: bytes):
             break
     if bitdepth != 8:
         raise NotImplementedError(f"PNG bit depth {bitdepth} (only 8 supported)")
-    if interlace:
-        raise NotImplementedError("interlaced PNG not supported")
     if width * height > MAX_DECODE_PIXELS:
         raise ImageTooLarge(f"PNG {width}x{height} exceeds decode-size guard")
     if colortype not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {colortype}")
     bpp = _PNG_CHANNELS[colortype]
-    # cap inflate output at the exact raw size the (guarded) IHDR dims
-    # imply — a crafted IDAT cannot expand past it (zlib-bomb guard)
-    want = height * (width * bpp + 1)
-    raw = zlib.decompressobj().decompress(b"".join(idat), want)
-    mat = _png_unfilter(raw, width, height, bpp)
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full canvas (PNG spec §8.2)
+        passes = [
+            (x0, y0, dx, dy,
+             (width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        want = sum(ph * (pw * bpp + 1) for *_, pw, ph in passes if pw and ph)
+        raw = zlib.decompressobj().decompress(b"".join(idat), want)
+        mat = np.zeros((height, width * bpp), dtype=np.uint8).reshape(
+            height, width, bpp
+        )
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if pw == 0 or ph == 0:
+                continue
+            size = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[off:off + size], pw, ph, bpp)
+            off += size
+            mat[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        mat = mat.reshape(height, width * bpp)
+    else:
+        # cap inflate output at the exact raw size the (guarded) IHDR dims
+        # imply — a crafted IDAT cannot expand past it (zlib-bomb guard)
+        want = height * (width * bpp + 1)
+        raw = zlib.decompressobj().decompress(b"".join(idat), want)
+        mat = _png_unfilter(raw, width, height, bpp)
     mode = _PNG_MODE[colortype]
     if bpp > 1:
         mat = mat.reshape(height, width, bpp)

@@ -175,8 +175,8 @@ def image_codes(assets: DataFrame) -> DataFrame:
                 # task never stalls minutes inside one image's sequential
                 # filter pass (rates measurable per-corpus)
                 return (None, None, None, "too_large")
-            # well-formed but unsupported variant (16-bit / interlaced PNG,
-            # transparent offset GIF sub-frame)
+            # well-formed but unsupported variant (16-bit PNG,
+            # transparent offset GIF sub-frame, exotic JPEG process)
             return (None, None, None, "unsupported")
         except Exception:
             return (None, None, None, "corrupt")

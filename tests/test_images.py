@@ -311,3 +311,48 @@ def test_gif_size_guard():
     data = b"GIF89a" + struct.pack("<HH", 5000, 5000) + bytes([0, 0, 0])
     with pytest.raises(ImageTooLarge):
         decode_gif(data + b"\x3b")
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 interlaced PNG decodes bit-identically to the same image
+    stored progressively (pass split → per-pass filter-0 scanlines →
+    shared zlib stream, per PNG spec §8.2)."""
+    import struct
+    import zlib
+
+    from iscc_specs_spark.kernel.imagecodec import (
+        PNG_MAGIC,
+        _ADAM7,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    # deliberately awkward dims (not multiples of 8) to hit empty/ragged
+    # passes
+    for h, w in ((13, 9), (1, 1), (5, 17), (8, 8)):
+        mat = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = mat[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            for r in range(ph):
+                raw.append(0)  # filter type None
+                raw.extend(sub[r].tobytes())
+
+        def chunk(typ, body):
+            return (
+                struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        data = (
+            PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        mode, got, _ = decode_png(data)
+        assert mode == "RGB"
+        assert (got == mat).all(), (h, w)
