@@ -442,12 +442,21 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dup_flags`` state. The DuckDB twin recomputes every flag from the
     staged ``codes`` state table — replay non-idempotence (e.g. docs
     matching their own earlier write) would hash-mismatch."""
+    from iscc_specs_spark.streaming.ingest import read_dup_flags
+
+    state = _stream_state(spark, sf_dir)
+    return read_dup_flags(spark, state).select(
+        "url", "dup_of", "src",
+        F.col("ingest_batch").cast("long").alias("ingest_batch"),
+    )
+
+
+def _stream_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build the two-batch (+replay) streaming dedup state once per process;
+    returns the state dir (codes / dup_flags / bands tables)."""
     import shutil
 
-    from iscc_specs_spark.streaming.ingest import (
-        process_dedup_batch,
-        read_dup_flags,
-    )
+    from iscc_specs_spark.streaming.ingest import process_dedup_batch
 
     state = os.path.join(_stage_dir(sf_dir), "stream_state")
     key = (sf_dir, "stream_state")
@@ -463,9 +472,21 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         process_dedup_batch(b1, 1, state)
         process_dedup_batch(b1, 1, state)  # replay must be a no-op
         _staged.add(key)
-    return read_dup_flags(spark, state).select(
-        "url", "dup_of", "src",
-        F.col("ingest_batch").cast("long").alias("ingest_batch"),
+    return state
+
+
+def _q_streaming_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic curation over the accumulated streaming state
+    (streaming/ingest.py:curate_state): the incremental dup flags are an
+    edge list, so connected components + the skew-free canonical pick
+    recover the curated corpus without a batch job. The DuckDB twin
+    recomputes clusters (recursive min-label CC over the staged flags) and
+    the canonical min(warc_ts, url) pick independently."""
+    from iscc_specs_spark.streaming.ingest import curate_state
+
+    state = _stream_state(spark, sf_dir)
+    return curate_state(spark, state).select(
+        "url", "cluster_id", "is_canonical"
     )
 
 
@@ -482,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_codes": _q_image_codes,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_canonical": _q_streaming_canonical,
         # SQL-oracled operators
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -570,6 +592,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_dedup": _o.streaming_dedup_sql(
             f"{stage}/stream_state/codes/*/*.parquet"
+        ),
+        "streaming_canonical": _o.streaming_canonical_sql(
+            f"{stage}/stream_state/codes/*/*.parquet",
+            f"{stage}/stream_state/dup_flags/*/*.parquet",
         ),
         "curation_corpus": _o.curation_corpus_sql(
             f"{stage}/curation/dedup/codes/*.parquet"

@@ -718,3 +718,39 @@ SELECT metric, CAST(value AS BIGINT) AS value FROM (
     UNION ALL SELECT 'tokens_out', tokens_out FROM stats
 )
 """
+
+
+def streaming_canonical_sql(codes_glob: str, flags_glob: str) -> str:
+    """Twin of streaming/ingest.py:curate_state over the staged streaming
+    state: the dup flags ARE the edge list, so clusters come from
+    recursive min-label propagation over them (plus singletons from the
+    codes table), and the canonical member is the min (warc_ts, url) per
+    cluster — all recomputed independently in DuckDB."""
+    return f"""
+WITH RECURSIVE codes AS (
+    SELECT url, warc_ts
+    FROM read_parquet('{codes_glob}', hive_partitioning = 1)
+),
+flags AS (
+    SELECT url, dup_of
+    FROM read_parquet('{flags_glob}', hive_partitioning = 1)
+),
+sym AS (
+    SELECT url AS u, dup_of AS v FROM flags
+    UNION
+    SELECT dup_of AS u, url AS v FROM flags
+),
+cc AS (
+    SELECT url, url AS lbl FROM codes
+    UNION
+    SELECT s.v AS url, cc.lbl FROM cc JOIN sym s ON cc.url = s.u
+),
+labels AS (SELECT url, min(lbl) AS cluster_id FROM cc GROUP BY url),
+canon AS (
+    SELECT c.url, l.cluster_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY c.warc_ts, c.url) AS rn
+    FROM codes c JOIN labels l USING (url)
+)
+SELECT url, cluster_id, rn = 1 AS is_canonical FROM canon
+"""
