@@ -113,6 +113,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     qs["embedding_neardup"] = _embedding_neardup_verify
 
+    # fingerprints: bench the production xxh64 hash (JVM-native); the
+    # driver row pins md5 for the cross-engine DuckDB twin (same pattern
+    # as substring_matches above)
+    def _fingerprints_prod(s, sf_dir_):
+        from iscc_specs_spark.operators.textstats import fingerprints
+
+        return fingerprints(entrymod._docs(s, sf_dir_), hash_fn="xxh64")
+
+    qs["fingerprints"] = _fingerprints_prod
+
     # image-track throughput: 2k real PNG payloads through the full
     # decode → normalize → DCT-hash kernel in one Arrow pass (the driver
     # query's 64-asset version is a correctness row, not a benchmark)

@@ -118,15 +118,30 @@ def language_id(docs: DataFrame) -> DataFrame:
     return out
 
 
-def fingerprints(docs: DataFrame, shingle_words: int = 5) -> DataFrame:
+def fingerprints(
+    docs: DataFrame, shingle_words: int = 5, hash_fn: str = "md5"
+) -> DataFrame:
     """Document fingerprints: full-content hash + min-shingle rolling hash.
 
-    * ``content_fp``  — md5 of the casefolded, whitespace-collapsed text
-      (exact-dup key; md5 chosen for oracle parity with DuckDB).
-    * ``min_shingle_fp`` — minimum md5 over all ``shingle_words``-word
+    * ``content_fp``  — hash of the casefolded, whitespace-collapsed text
+      (exact-dup key).
+    * ``min_shingle_fp`` — minimum hash over all ``shingle_words``-word
       shingles (a 1-permutation MinHash: equal values ⇒ shared shingle,
       the winnowing primitive for substring dedup).
+
+    ``hash_fn``: "md5" (default — cross-engine, the DuckDB-oracled driver
+    configuration) or "xxh64" (production: JVM-native xxhash64, ~2× faster,
+    emits the fingerprints as zero-padded hex of the 64-bit hash — same
+    equal-iff-same-content contract; same pattern as substring.py's
+    md5-oracle / xxh64-production anchors).
     """
+    if hash_fn == "md5":
+        hf = F.md5
+    elif hash_fn == "xxh64":
+        def hf(c):
+            return F.lpad(F.hex(F.xxhash64(c)), 16, "0")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     norm = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), "\\s+", " "
     )
@@ -139,6 +154,6 @@ def fingerprints(docs: DataFrame, shingle_words: int = 5) -> DataFrame:
     )).otherwise(F.array(F.concat_ws(" ", toks)))
     return docs.select(
         "doc_id",
-        F.md5(norm).alias("content_fp"),
-        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_fp"),
+        hf(norm).alias("content_fp"),
+        F.array_min(F.transform(shingles, hf)).alias("min_shingle_fp"),
     )

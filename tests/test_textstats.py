@@ -113,3 +113,41 @@ def test_extract_text_malformed_utf8(spark):
     assert got["u1"] == "ok �� broken\ntail"
     assert got["u2"] == "caf�"
     assert got["u3"] == "café"
+
+
+def test_fingerprints_xxh64_same_partition_as_md5(spark):
+    """The production xxh64 fingerprint variant induces exactly the same
+    equality classes as the md5 (oracle) variant — hash choice must not
+    change which documents share a fingerprint."""
+    from iscc_specs_spark.operators.textstats import fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0
+            (2, "ALPHA  beta gamma delta epsilon zeta"),  # normalizes to 0
+            (3, "different text entirely here now ok"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+    def classes(hash_fn):
+        rows = {r["doc_id"]: r for r in fingerprints(docs, hash_fn=hash_fn).collect()}
+        by_fp: dict = {}
+        for r in rows.values():
+            by_fp.setdefault(r["content_fp"], set()).add(r["doc_id"])
+        return sorted(map(frozenset, by_fp.values()), key=sorted), rows
+
+    md5_cls, md5_rows = classes("md5")
+    xx_cls, xx_rows = classes("xxh64")
+    # content_fp equality classes are hash-invariant (same normalization)
+    assert md5_cls == xx_cls
+    assert len(xx_cls) == 3  # {0,1,2}, {3}, {4}
+    # exact dups share min_shingle_fp under either hash (identical shingle
+    # sets → identical argmin input set). NOTE: which shingle wins the min
+    # legitimately differs between hashes for near-dups — only the
+    # equal-min ⇒ shared-shingle direction is hash-invariant.
+    for rows in (md5_rows, xx_rows):
+        assert rows[0]["min_shingle_fp"] == rows[1]["min_shingle_fp"]
+        assert rows[0]["min_shingle_fp"] != rows[3]["min_shingle_fp"]
