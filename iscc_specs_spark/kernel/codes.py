@@ -4,8 +4,10 @@ sketches the Spark pipeline needs (64-value MinHash signature, 64-bit text
 SimHash) which the reference computes and throws away.
 
 Parity: /root/reference/src/iscc/iscc.py:19-164 (semantics, bit-for-bit via
-golden vectors).  Image codes (content_id_image) are descoped in this
-environment (no PIL; see SURVEY.md §7.4).
+golden vectors).  Image codes (content_id_image) live in kernel/images.py
+and are conformance-complete (43/43 golden vectors, including file→code
+through the from-scratch PNG/GIF/JPEG decoders in kernel/imagecodec.py and
+kernel/jpegcodec.py — see SURVEY.md §7.4, closed in rounds 3-4).
 """
 
 from __future__ import annotations

@@ -3,9 +3,11 @@
 Parity: /root/reference/src/iscc/iscc.py:271-301 (image_hash),
 396-423 (dct), 81-96 (content_id_image).  Pure array math — no codec
 library involved: inputs are 2-D pixel matrices (what the reference's
-``image_normalize`` produces from PIL).  The decode/resize step itself
-(PIL bicubic) stays descoped in this container — see
-operators/multimodal.py for the plumbing it would plug into.
+``image_normalize`` produces from PIL).  The decode/resize step is ALSO
+implemented here (``image_normalize`` below: Pillow-compatible luma +
+bicubic, bit-for-bit vs golden vectors) on top of the from-scratch
+PNG/GIF decoders in kernel/imagecodec.py and the JPEG decoder in
+kernel/jpegcodec.py; operators/multimodal.py is the distributed plumbing.
 
 The DCT is the Lee/Nayuki split-radix recursion (public algorithm,
 https://www.nayuki.io/page/fast-discrete-cosine-transform-algorithms).

@@ -466,6 +466,8 @@ def _decode_block(br, block, c, ss, se, ah, al, progressive,
                 k += 16
             else:
                 k += r
+                if k > 63:
+                    raise ValueError("corrupt JPEG AC run (baseline)")
                 block[k] = _extend(br.get_bits(s), s)
                 k += 1
         return 0
@@ -492,6 +494,8 @@ def _decode_block(br, block, c, ss, se, ah, al, progressive,
             r, s = rs >> 4, rs & 15
             if s:
                 k += r
+                if k > 63:
+                    raise ValueError("corrupt JPEG AC run (AC-first)")
                 block[k] = _extend(br.get_bits(s), s) << al
                 k += 1
             else:

@@ -219,7 +219,7 @@ def embedding_neardup_pairs_gemm(
     e = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        (F.col("vec_id") / block).cast("long").alias("blk"),
+        F.floor(F.col("vec_id") / block).cast("long").alias("blk"),
     )
     packed = e.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("rows")

@@ -675,7 +675,7 @@ kept AS (SELECT url, quality_score FROM qual WHERE quality_score >= {min_quality
 canon AS (
     SELECT c.url, l.cluster_id,
            row_number() OVER (PARTITION BY l.cluster_id
-                              ORDER BY c.warc_ts, c.url) AS rn
+                              ORDER BY c.warc_ts ASC NULLS FIRST, c.url) AS rn
     FROM codes c JOIN labels l USING (url)
 )"""
 
@@ -749,7 +749,7 @@ labels AS (SELECT url, min(lbl) AS cluster_id FROM cc GROUP BY url),
 canon AS (
     SELECT c.url, l.cluster_id,
            row_number() OVER (PARTITION BY l.cluster_id
-                              ORDER BY c.warc_ts, c.url) AS rn
+                              ORDER BY c.warc_ts ASC NULLS FIRST, c.url) AS rn
     FROM codes c JOIN labels l USING (url)
 )
 SELECT url, cluster_id, rn = 1 AS is_canonical FROM canon

@@ -62,7 +62,11 @@ def canonical_pick(codes: DataFrame, clusters: DataFrame) -> DataFrame:
     carries one candidate row per (map partition, cluster), so no cluster
     size can skew it. The member→champion join is a plain equi-join on
     cluster_id (AQE skew-split-able; O(k) data movement, no per-cluster
-    sort)."""
+    sort).
+
+    NULL ordering: Spark's struct ordering inside ``min_by`` is nulls-FIRST,
+    so a NULL warc_ts wins the pick; the DuckDB twins pin
+    ``ORDER BY warc_ts ASC NULLS FIRST, url`` to match (oracles.py)."""
     members = codes.select("url", "warc_ts").join(clusters, "url")
     champs = members.groupBy("cluster_id").agg(
         F.min_by("url", F.struct("warc_ts", "url")).alias("_champ")

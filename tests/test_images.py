@@ -1,7 +1,8 @@
 """Image-track kernel conformance: dct / image_hash / content_id_image.
 
-The PIL decode/resize (``image_normalize``) is descoped in this container,
-but the vendored golden vectors pin the rest of the track two ways:
+This module predates the from-scratch decoders (the decode/resize track is
+now fully closed — see tests/test_conformance.py, 43/43); it still pins the
+array-math core of the track two ways:
 
   * constant matrices — a 1×1 transparent/black PNG normalizes to all-zero
     pixels, a white one to all-255 (PIL 'L' + bicubic of a constant is
