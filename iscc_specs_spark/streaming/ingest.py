@@ -38,6 +38,24 @@ PAGES_SCHEMA = (
 # schema inference cannot read.
 FLAGS_SCHEMA = "url string, dup_of string, src string, ingest_batch int"
 
+# The maintained band index at ``state_dir/bands`` is partitioned by
+# (ingest_batch, band_pfx) where band_pfx = pmod(xxhash64(band_id,
+# band_hash), INDEX_BUCKETS): ingest_batch gives replay-safe `< batch_id`
+# pruning, band_pfx gives the vs-history probe *static partition pruning*
+# down to the new batch's own key prefixes — per-batch probe I/O is bounded
+# by |distinct new prefixes| / INDEX_BUCKETS of the index instead of a full
+# scan. The bucket count must stay constant for a state dir's lifetime
+# (it is baked into the stored directory layout); indexes written before
+# this column existed are detected by the missing column and read unpruned.
+INDEX_BUCKETS = 64
+
+
+def band_pfx(buckets: int = INDEX_BUCKETS):
+    """Partition-prefix expression over a (band_id, band_hash) row."""
+    return F.pmod(
+        F.xxhash64(F.col("band_id"), F.col("band_hash")), F.lit(buckets)
+    ).cast("int")
+
 
 def read_dup_flags(spark: SparkSession, state_dir: str) -> DataFrame:
     """Accumulated dup-flags state, schema-stable even when no batch has
@@ -153,6 +171,7 @@ def start_incremental_dedup_stream(
     tracks: tuple[str, ...] = ("text", "data"),
     trigger_once: bool = True,
     bucket_cap: int = 64,
+    index_buckets: int = INDEX_BUCKETS,
 ) -> StreamingQuery:
     """Streaming near-dup flagging: each micro-batch's pages are coded and
     LSH-matched against every previously ingested document, then appended to
@@ -168,9 +187,11 @@ def start_incremental_dedup_stream(
          batch — history codes are never re-banded, so per-batch kernel
          work stays O(|batch|) regardless of corpus age) — the new side is
          tiny, so Spark broadcasts it and the index streams through;
-         verification is the same native Hamming predicate.  (At warehouse
-         scale the index is additionally bucketed by (band_id, band_hash)
-         so the probe prunes files instead of scanning partitions.)
+         verification is the same native Hamming predicate. The index is
+         additionally partitioned by ``band_pfx`` (a hash prefix of the
+         band key), so the probe statically prunes to the partitions
+         holding the new batch's own prefixes instead of scanning the
+         whole index;
       4. append codes to ``state_dir/codes``, flags to
          ``state_dir/dup_flags`` and band rows to ``state_dir/bands``,
          each into an ``ingest_batch=<id>`` partition with dynamic
@@ -183,7 +204,9 @@ def start_incremental_dedup_stream(
     codes_stream = compute_codes(pages_stream, tracks)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        process_dedup_batch(batch_df, batch_id, state_dir, bucket_cap)
+        process_dedup_batch(
+            batch_df, batch_id, state_dir, bucket_cap, index_buckets
+        )
 
     writer = (
         codes_stream.writeStream.outputMode("append")
@@ -216,11 +239,35 @@ def _read_history(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def read_band_index(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    new_pfx: list[int] | None = None,
+) -> DataFrame | None:
+    """Pruned view of the maintained band index for batch ``batch_id``'s
+    vs-history probe: replay-safe ``ingest_batch < batch_id`` plus — when
+    the layout carries ``band_pfx`` and the probe supplies its prefix set —
+    a literal ``band_pfx IN (...)`` partition filter, so the scan lists only
+    matching partition directories (static pruning: both predicates are on
+    partition columns and appear as PartitionFilters in the plan). Returns
+    None iff the index does not exist yet (legacy state dir — caller
+    backfills)."""
+    hb = _read_history(spark, f"{state_dir}/bands")
+    if hb is None:
+        return None
+    hb = hb.where(F.col("ingest_batch") < F.lit(batch_id))
+    if new_pfx is not None and "band_pfx" in hb.columns:
+        hb = hb.where(F.col("band_pfx").isin(sorted(new_pfx)))
+    return hb.select("url", "band_id", "band_hash")
+
+
 def process_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,
     state_dir: str,
     bucket_cap: int = 64,
+    index_buckets: int = INDEX_BUCKETS,
 ) -> None:
     """One micro-batch of the incremental dedup stream (the ``foreachBatch``
     body, exposed at module level so replay semantics are testable and the
@@ -240,9 +287,19 @@ def process_dedup_batch(
     reads that table directly. Without the index, banding the accumulated
     codes table costs O(|history|) *kernel work* per micro-batch — ingest
     cost would grow linearly with corpus age; with it, per-batch work is
-    O(|batch|) banding + one pruned probe of the index. (At warehouse scale
-    the index is additionally bucketed by (band_id, band_hash) so the probe
-    prunes files instead of scanning partitions.)
+    O(|batch|) banding + one pruned probe of the index.
+
+    Index layout: partitioned by (ingest_batch, band_pfx) where band_pfx =
+    pmod(xxhash64(band_id, band_hash), index_buckets). Before the probe,
+    the new batch's ≤ index_buckets distinct prefixes are collected (a
+    bounded driver list, same class as the lineage/metric collects) and
+    pushed down as a literal IN partition filter — the probe's scan lists
+    only matching partition directories (static pruning, visible in the
+    plan's PartitionFilters and in ``inputFiles()``), so probe I/O per
+    batch is bounded by the new batch's key-prefix coverage of the index
+    rather than the index's full size. ``index_buckets`` must match the
+    value the state dir was written with; a legacy index without the
+    column is read unpruned (correct, just unbounded I/O).
     """
     from iscc_specs_spark.operators import lsh
 
@@ -261,7 +318,7 @@ def process_dedup_batch(
     # exact-dup representative)
     own_bands = (
         lsh.minhash_bands(batch).union(lsh.simhash_bands(batch))
-    )
+    ).withColumn("band_pfx", band_pfx(index_buckets))
 
     hist = _read_history(spark, f"{state_dir}/codes")
     if hist is not None:
@@ -274,28 +331,33 @@ def process_dedup_batch(
             "url", "cid_body", "simhash", "minhash", "tophash"
         )
         nb = lsh.minhash_bands(new_slim).union(lsh.simhash_bands(new_slim))
-        hb = _read_history(spark, f"{state_dir}/bands")
-        if hb is not None:
-            hb = hb.where(F.col("ingest_batch") < F.lit(batch_id)).select(
-                "url", "band_id", "band_hash"
-            )
-        else:
+        # the new batch's key prefixes: ≤ index_buckets ints, collected on
+        # the driver and pushed down as a literal partition filter (static
+        # pruning — the probe never lists non-matching band_pfx dirs)
+        new_pfx = sorted(
+            r[0]
+            for r in nb.select(band_pfx(index_buckets).alias("p"))
+            .distinct()
+            .collect()
+        )
+        hb = read_band_index(spark, state_dir, batch_id, new_pfx)
+        if hb is None:
             # legacy state dir written before the index existed: backfill
             # it once from history codes, under each history row's OWN
             # ingest_batch partition (so replay semantics — `< batch_id`
             # prunes only the replayed batch — keep holding afterwards)
-            backfill = lsh.minhash_bands(hist, keep=("ingest_batch",)).union(
-                lsh.simhash_bands(hist, keep=("ingest_batch",))
-            )
+            backfill = (
+                lsh.minhash_bands(hist, keep=("ingest_batch",)).union(
+                    lsh.simhash_bands(hist, keep=("ingest_batch",))
+                )
+            ).withColumn("band_pfx", band_pfx(index_buckets))
             (
                 backfill.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
+                .partitionBy("ingest_batch", "band_pfx")
                 .parquet(f"{state_dir}/bands")
             )
-            hb = spark.read.parquet(f"{state_dir}/bands").where(
-                F.col("ingest_batch") < F.lit(batch_id)
-            ).select("url", "band_id", "band_hash")
+            hb = read_band_index(spark, state_dir, batch_id, new_pfx)
         # vs-history candidates with the engine-standard hot-bucket cap:
         # restrict the index to the new batch's band keys first (semi-join
         # — each history row matches once per key, NOT once per new url),
@@ -364,13 +426,18 @@ def process_dedup_batch(
         flags = intra
 
     # flags + codes + this batch's band-index rows, each into its own
-    # ingest_batch partition (replay overwrites itself in all three)
-    for df, sub in ((flags, "dup_flags"), (batch, "codes"), (own_bands, "bands")):
+    # ingest_batch partition (replay overwrites itself in all three); the
+    # band index is additionally partitioned by band_pfx for probe pruning
+    for df, sub, parts in (
+        (flags, "dup_flags", ("ingest_batch",)),
+        (batch, "codes", ("ingest_batch",)),
+        (own_bands, "bands", ("ingest_batch", "band_pfx")),
+    ):
         (
             df.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
+            .partitionBy(*parts)
             .parquet(f"{state_dir}/{sub}")
         )
 

@@ -316,3 +316,121 @@ def test_cross_history_hot_bucket_hub_routed(spark, tmp_path):
     got = [(r["url"], r["dup_of"]) for r in flags.collect()]
     # exactly ONE flag, routed to the bucket hub (min history url)
     assert got == [("https://new.example/p/1", hist_urls[0])], got
+
+
+def _mini_codes(spark, rows):
+    """(url, cid_body, simhash, minhash, tophash, warc_ts) rows — the slim
+    schema process_dedup_batch needs."""
+    return spark.createDataFrame(
+        rows,
+        "url string, cid_body long, simhash long, minhash array<long>, "
+        "tophash string, warc_ts timestamp",
+    )
+
+
+def test_band_index_probe_prunes_partitions(spark, tmp_path):
+    """The vs-history probe must statically prune the band index to the new
+    batch's own band_pfx partitions — per-batch probe I/O bounded by prefix
+    coverage, not index size.
+
+    Proof by poison row: a band-index row whose (band_id, band_hash) DOES
+    collide with the new batch but which sits under a band_pfx partition
+    directory the new batch's prefixes don't cover. Its codes row is a
+    hamming-0 match, so ANY implementation that lists that partition would
+    emit a vs_history flag for it; a partition-pruning probe never reads
+    the file. A genuine twin under the CORRECT prefix pins the probe as
+    still live (the test can't pass via a broken/empty probe)."""
+    from pyspark.sql import functions as F
+
+    from iscc_specs_spark.operators import lsh
+    from iscc_specs_spark.streaming.ingest import (
+        INDEX_BUCKETS,
+        band_pfx,
+        process_dedup_batch,
+    )
+
+    state = str(tmp_path / "state_prune")
+    mh = [7919 * i + 13 for i in range(64)]
+    new_url = "https://new.example/p/1"
+    genuine = "https://genuine.example/p/0"
+    poison = "https://poison.example/p/0"
+
+    # batch 0: the genuine near-dup (same signature → same band keys, same
+    # correctly-computed band_pfx partitions)
+    process_dedup_batch(
+        _mini_codes(spark, [(genuine, 5, 4242, mh, "top_g", None)]), 0, state
+    )
+    assert any(
+        d.startswith("band_pfx=")
+        for d in os.listdir(state + "/bands/ingest_batch=0")
+    )
+
+    # the new batch's band keys and their prefixes (what the probe will push)
+    new_batch = _mini_codes(spark, [(new_url, 5, 4242, mh, "top_n", None)])
+    nb = (
+        lsh.minhash_bands(new_batch)
+        .union(lsh.simhash_bands(new_batch))
+        .withColumn("p", band_pfx(INDEX_BUCKETS))
+    )
+    keys = nb.select("band_id", "band_hash", "p").collect()
+    new_pfx = {r["p"] for r in keys}
+    assert len(new_pfx) < INDEX_BUCKETS, "fixture needs uncovered prefixes"
+    wrong_pfx = min(set(range(INDEX_BUCKETS)) - new_pfx)
+    k = keys[0]
+
+    # poison: codes row is a hamming-0 match in history, band row carries a
+    # genuinely-colliding key but lives in an uncovered partition directory
+    (
+        _mini_codes(spark, [(poison, 5, 4242, mh, "top_p", None)])
+        .drop("warc_ts")
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .write.mode("append")
+        .parquet(state + "/codes/ingest_batch=0")
+    )
+    (
+        spark.createDataFrame(
+            [(poison, k["band_id"], k["band_hash"])],
+            "url string, band_id int, band_hash long",
+        )
+        .write.mode("append")
+        .parquet(f"{state}/bands/ingest_batch=0/band_pfx={wrong_pfx}")
+    )
+
+    process_dedup_batch(new_batch, 1, state)
+    hits = {
+        (r["url"], r["dup_of"])
+        for r in spark.read.parquet(state + "/dup_flags")
+        .where("src = 'vs_history'")
+        .collect()
+    }
+    assert (new_url, genuine) in hits, hits       # probe is live
+    assert all(d != poison for _, d in hits), (   # uncovered dir never read
+        f"probe scanned a band_pfx partition outside the batch's prefixes: {hits}"
+    )
+
+
+def test_band_index_probe_plan_is_pruned_scan(spark, tmp_path):
+    """read_band_index's plan must carry BOTH partition columns as
+    PartitionFilters (static pruning) and contain no Python/banding subtree
+    — the probe is a pure pruned parquet scan (pins the round-3 regression:
+    history is never re-banded per micro-batch)."""
+    from iscc_specs_spark.streaming.ingest import (
+        process_dedup_batch,
+        read_band_index,
+    )
+
+    state = str(tmp_path / "state_plan")
+    mh = list(range(64))
+    process_dedup_batch(
+        _mini_codes(spark, [("https://a.example/p/0", 5, 7, mh, "t", None)]),
+        0,
+        state,
+    )
+    df = read_band_index(spark, state, batch_id=99, new_pfx=[3, 5, 11])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = next(
+        (ln for ln in plan.splitlines() if "PartitionFilters" in ln), ""
+    )
+    assert "ingest_batch" in pf and "band_pfx" in pf, plan
+    for banned in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert banned not in plan, plan
