@@ -183,10 +183,12 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed image track: real PNG payloads → decode →
-    image_normalize → DCT hash → Content-ID-Image (kernel conformant, all
-    6 golden vectors). Staged so the DuckDB twin re-derives the base58
-    code and hex form from the 64-bit digest independently."""
+    """Distributed image track: real payloads rotating across PNG, GIF and
+    JPEG → decode → image_normalize → DCT hash → Content-ID-Image (kernel
+    conformant, all 6 golden vectors) — every decoder runs through the
+    distributed mapInPandas path, and payload_kind × decode_status is
+    value-pinned by the oracle hash. Staged so the DuckDB twin re-derives
+    the base58 code and hex form from the 64-bit digest independently."""
     from iscc_specs_spark.operators.multimodal import image_codes, synthetic_assets
 
     codes = image_codes(synthetic_assets(spark, n=64))
@@ -198,7 +200,8 @@ def _q_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(_stage_dir(sf_dir), "image_codes")
     )
     return staged.select(
-        "asset_id", "image_cid", "image_hash_hex", "hash_body", "decode_status"
+        "asset_id", "payload_kind", "image_cid", "image_hash_hex",
+        "hash_body", "decode_status",
     )
 
 

@@ -394,3 +394,60 @@ def encode_png_gray(pixels: np.ndarray, compress_level: int = 6) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, compress_level))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_gif_gray(pixels: np.ndarray) -> bytes:
+    """Minimal deterministic grayscale GIF89a writer (256-entry gray global
+    color table, one frame, fixed-width 9-bit LZW literal codes with a
+    CLEAR reset every 250 pixels so the code width never grows) — like
+    :func:`encode_png_gray`, a pure function of the pixel matrix used to
+    synthesize real decodable payloads; GIF is lossless so the round-trip
+    through :func:`decode_gif` is exact."""
+    mat = np.asarray(pixels, dtype=np.uint8)
+    if mat.ndim != 2:
+        raise ValueError("encode_gif_gray expects a 2-D grayscale matrix")
+    h, w = mat.shape
+    clear, end = 256, 257
+
+    # literal-only LZW: every pixel is a 9-bit root code; the decoder's
+    # table grows by one per code after a CLEAR, so resetting every 250
+    # codes keeps the table below 512 entries (width stays 9 bits)
+    bits = bytearray()
+    acc = since_clear = 0
+    nacc = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc  # LSB-first bit packing (GIF89a appendix F)
+        nacc += 9
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    put(clear)
+    for px in mat.reshape(-1).tolist():
+        if since_clear == 250:
+            put(clear)
+            since_clear = 0
+        put(px)
+        since_clear += 1
+    put(end)
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    sub_blocks = b"".join(
+        bytes([len(bits[i : i + 255])]) + bytes(bits[i : i + 255])
+        for i in range(0, len(bits), 255)
+    )
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0xF7, 0, 0])  # 256-entry GCT, bg 0, no aspect
+        + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([8])  # LZW min code size
+        + sub_blocks
+        + b"\x00\x3b"
+    )

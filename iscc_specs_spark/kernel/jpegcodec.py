@@ -622,3 +622,108 @@ def _ycc_to_rgb(y, cb, cr):
     g = y + ((_CB_G[cbi] + _CR_G[cri]) >> _SCALEBITS).astype(np.int32)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# payload synthesis (grayscale baseline encoder)
+# ---------------------------------------------------------------------------
+
+def _coef_magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC coefficient (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quant_val: int = 1) -> bytes:
+    """Minimal deterministic single-component baseline JFIF writer — the
+    grayscale sibling of imagecodec.encode_png_gray / encode_gif_gray,
+    used to synthesize real decodable JPEG payloads for the distributed
+    image track. Flat quantization (all = ``quant_val``) and flat canonical
+    Huffman tables (12 DC symbols at 4 bits, 255 AC symbols at 9 bits —
+    code == symbol), so the only loss is DCT rounding; a pure function of
+    the pixel matrix."""
+    mat = np.asarray(pixels, dtype=np.uint8)
+    if mat.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects a 2-D grayscale matrix")
+    h, w = mat.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    plane = np.pad(
+        mat.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+
+    # float DCT-II with JPEG scaling (T.81 A.3.3)
+    k = np.arange(8)
+    cosines = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    c = np.full(8, 0.5)
+    c[0] = np.sqrt(0.125)
+    m = cosines * c[:, None]
+
+    out = bytearray()
+    acc = nacc = 0
+
+    def put(value: int, bits: int) -> None:
+        nonlocal acc, nacc
+        for i in range(bits - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)  # byte stuffing
+                acc = 0
+                nacc = 0
+
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            cells = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            coef = np.round(m @ cells @ m.T / quant_val).astype(np.int32)
+            z = coef.reshape(64)[ZIGZAG]
+            diff = int(z[0]) - pred
+            pred = int(z[0])
+            s, bits = _coef_magnitude(diff)
+            put(s, 4)
+            if s:
+                put(bits, s)
+            run = 0
+            last = 63
+            while last > 0 and z[last] == 0:
+                last -= 1
+            for i in range(1, last + 1):
+                v = int(z[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        put(0xF0, 9)  # ZRL
+                        run = 0
+                    continue
+                s, bits = _coef_magnitude(v)
+                put((run << 4) | s, 9)
+                put(bits, s)
+                run = 0
+            if last < 63:
+                put(0x00, 9)  # EOB
+    while nacc:
+        put(1, 1)  # pad with 1-bits per spec
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    quant = np.full(64, quant_val, dtype=np.uint8)
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(quant[ZIGZAG].tolist()))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+              + bytes([0x10]) + bytes(ac_counts) + bytes(range(255)))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(out)
+        + b"\xff\xd9"
+    )

@@ -2,9 +2,9 @@
 
 Assets are opaque ``binary`` payloads with typed metadata — the Spark-side
 contract (schema, partitioning, Arrow batch shape, UDF signatures) is real
-and tested. PNG/GIF decode is REAL (pure-stdlib deterministic decoders,
-kernel/imagecodec.py); JPEG and audio/video codecs remain honest stubs
-(JPEG decode is implementation-defined; no A/V libraries here).
+and tested. PNG/GIF/JPEG decode is REAL (pure-stdlib deterministic
+decoders: kernel/imagecodec.py, kernel/jpegcodec.py — golden-vector
+conformant); compressed audio/video codecs remain honest env-blocked stubs.
 
 Design (mirrors the text tracks in operators/codegen.py): one
 ``mapInPandas`` pass per asset batch, Arrow-transported, producing
@@ -139,9 +139,11 @@ def image_codes(assets: DataFrame) -> DataFrame:
     recognized image (synthetic byte blobs) fall back to the deterministic
     byte-tiled stand-in so the plumbing stays exercised either way.
 
-    Narrow map, no shuffle; returns (asset_id, image_cid, image_hash_hex,
-    hash_body, decode_status) — hash_body is the signed-64 digest for
-    SQL-side re-derivation of the encoded forms; decode_status separates
+    Narrow map, no shuffle; returns (asset_id, payload_kind, image_cid,
+    image_hash_hex, hash_body, decode_status) — hash_body is the signed-64
+    digest for SQL-side re-derivation of the encoded forms; payload_kind is
+    the sniffed container format ('png'/'gif'/'jpeg'/'unknown'), so per-codec
+    decode/status rates are a queryable column; decode_status separates
     real decodes ('ok') from stand-ins and the NULL-code failure classes
     ('null_payload' / 'unsupported' / 'too_large' / 'corrupt').
     """
@@ -157,7 +159,7 @@ def image_codes(assets: DataFrame) -> DataFrame:
         # a distinct decode_status (measurable rates, never a fake hash for
         # bytes that claimed to be a real image, never a failed job)
         if payload is None:
-            return (None, None, None, "null_payload")
+            return ("unknown", None, None, None, "null_payload")
         raw = bytes(payload)
         kind = sniff(raw)
         try:
@@ -174,14 +176,15 @@ def image_codes(assets: DataFrame) -> DataFrame:
                 # over the decode-size guard: classified so an executor
                 # task never stalls minutes inside one image's sequential
                 # filter pass (rates measurable per-corpus)
-                return (None, None, None, "too_large")
+                return (kind, None, None, None, "too_large")
             # well-formed but unsupported variant (16-bit PNG,
             # transparent offset GIF sub-frame, exotic JPEG process)
-            return (None, None, None, "unsupported")
+            return (kind, None, None, None, "unsupported")
         except Exception:
-            return (None, None, None, "corrupt")
+            return (kind, None, None, None, "corrupt")
         digest = image_hash(pixels)  # both branches yield normalized 32×32
         return (
+            kind,
             encode(HEAD_CID_I + digest),
             digest.hex(),
             int.from_bytes(digest, "big", signed=True),
@@ -194,10 +197,11 @@ def image_codes(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "image_cid": [r[0] for r in res],
-                    "image_hash_hex": [r[1] for r in res],
-                    "hash_body": [r[2] for r in res],
-                    "decode_status": [r[3] for r in res],
+                    "payload_kind": [r[0] for r in res],
+                    "image_cid": [r[1] for r in res],
+                    "image_hash_hex": [r[2] for r in res],
+                    "hash_body": [r[3] for r in res],
+                    "decode_status": [r[4] for r in res],
                 }
             )
 
@@ -205,8 +209,8 @@ def image_codes(assets: DataFrame) -> DataFrame:
     return imgs.mapInPandas(
         run,
         schema=(
-            "asset_id long, image_cid string, image_hash_hex string, "
-            "hash_body long, decode_status string"
+            "asset_id long, payload_kind string, image_cid string, "
+            "image_hash_hex string, hash_body long, decode_status string"
         ),
     )
 
@@ -214,17 +218,28 @@ def image_codes(assets: DataFrame) -> DataFrame:
 def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake asset table for tests/benchmarks.
 
-    Image-kind assets carry REAL grayscale PNG payloads (a pure function of
-    the asset id — kernel/imagecodec.py:encode_png_gray) so the full
-    decode → normalize → DCT-hash reference path runs distributed; audio/
-    video payloads stay opaque byte blobs."""
-    from iscc_specs_spark.kernel.imagecodec import encode_png_gray
+    Image-kind assets carry REAL decodable payloads rotating across all
+    three supported codecs — PNG, GIF, JPEG (pure functions of the asset
+    id: kernel/imagecodec.py:encode_png_gray / encode_gif_gray,
+    kernel/jpegcodec.py:encode_jpeg_gray) — so every decoder runs through
+    the distributed mapInPandas path, not just its unit tests; audio/video
+    payloads stay opaque byte blobs."""
+    from iscc_specs_spark.kernel.imagecodec import encode_gif_gray, encode_png_gray
+    from iscc_specs_spark.kernel.jpegcodec import encode_jpeg_gray
+
+    encoders = {
+        "png": encode_png_gray,
+        "gif": encode_gif_gray,
+        "jpeg": encode_jpeg_gray,
+    }
 
     def _image_payload(i: int) -> bytes:
-        # 48×32 deterministic gradient-plus-texture pattern per asset
+        # 48×32 deterministic gradient-plus-texture pattern per asset,
+        # encoded with the codec chosen by the image's ordinal (i//3)
         y, x = np.mgrid[0:32, 0:48]
         mat = ((x * (3 + i % 7) + y * (5 + i % 11) + (x * y) // (1 + i % 4)) % 256)
-        return encode_png_gray(mat.astype(np.uint8))
+        fmt = ("png", "gif", "jpeg")[(i // 3) % 3]
+        return encoders[fmt](mat.astype(np.uint8))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -241,12 +256,18 @@ def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                 )
                 for i, k in zip(ids, kinds)
             ]
+            media = [
+                f"image/{('png', 'gif', 'jpeg')[(i // 3) % 3]}"
+                if k == "image"
+                else f"application/x-fake-{k}"
+                for i, k in zip(ids, kinds)
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
                     "kind": kinds,
                     "payload": payloads,
-                    "media_type": [f"application/x-fake-{k}" for k in kinds],
+                    "media_type": media,
                     "width": [0] * len(ids),
                     "height": [0] * len(ids),
                     "duration_ms": [0] * len(ids),

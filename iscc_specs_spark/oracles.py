@@ -605,7 +605,7 @@ def image_codes_sql(staged_path: str) -> str:
     u = unsigned64("hash_body")
     return f"""
 WITH s AS (SELECT * FROM read_parquet('{staged_path}'))
-SELECT asset_id,
+SELECT asset_id, payload_kind,
        '{prefix}' || {base58_body_sql(u)} AS image_cid,
        lower(lpad(hex({u}), 16, '0')) AS image_hash_hex,
        hash_body, decode_status

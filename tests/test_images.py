@@ -357,3 +357,31 @@ def test_png_adam7_interlaced_roundtrip():
         mode, got, _ = decode_png(data)
         assert mode == "RGB"
         assert (got == mat).all(), (h, w)
+
+
+def test_encode_gif_gray_roundtrip_exact():
+    """GIF is lossless: encode → decode → to_grayscale is the identity for
+    any matrix shape (incl. >250-pixel rows that cross LZW CLEAR resets)."""
+    from iscc_specs_spark.kernel.imagecodec import decode_image, encode_gif_gray
+    from iscc_specs_spark.kernel.images import to_grayscale
+
+    for shape in [(1, 1), (33, 47), (64, 64), (257, 3)]:
+        mat = (np.arange(shape[0] * shape[1]) % 256).astype(np.uint8).reshape(shape)
+        mode, pixels, pal = decode_image(encode_gif_gray(mat))
+        assert mode == "P"
+        assert (to_grayscale(mode, pixels, pal) == mat).all(), shape
+
+
+def test_encode_jpeg_gray_roundtrip_tight_and_deterministic():
+    """Grayscale baseline synthesis: quant=1 leaves only DCT rounding
+    (|err| <= 1), and decode is byte-deterministic."""
+    from iscc_specs_spark.kernel.jpegcodec import decode_jpeg, encode_jpeg_gray
+
+    y, x = np.mgrid[0:37, 0:52]
+    mat = ((x * 4 + y * 7) % 256).astype(np.uint8)
+    data = encode_jpeg_gray(mat)
+    mode, got, _ = decode_jpeg(data)
+    assert mode == "L" and got.shape == mat.shape
+    err = np.abs(got.astype(int) - mat.astype(int))
+    assert err.max() <= 1, err.max()
+    assert (decode_jpeg(data)[1] == got).all()

