@@ -239,6 +239,21 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_neardup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production path: RHP-LSH candidates gated into the
+    blocked-GEMM verifier (candidate tiles only). Emits the pair KEYS —
+    the pair set is provably identical to embedding_neardup_lsh (same
+    candidate generator, same round-6 threshold), so the DuckDB twin is
+    that row's SQL projected to keys; the cosine column is left off the
+    driver row because BLAS summation order can shift it one round-6 ulp
+    (the float-order caveat the GEMM docstring documents)."""
+    from iscc_specs_spark.operators.dedup_variants import embedding_neardup_gated
+
+    return embedding_neardup_gated(
+        _emb(spark, sf_dir), threshold=0.4, nbits=4, ntables=8, dim=_EMB_DIM
+    ).select("vec_a", "vec_b")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.ann import brute_force_topk
 
@@ -512,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "embedding_neardup_gated": _q_embedding_neardup_gated,
         "ann_topk": _q_ann_topk,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -592,6 +608,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_neardup_lsh": _o.embedding_neardup_lsh_sql(
             dim=_EMB_DIM, threshold=0.4, nbits=4, ntables=8
+        ),
+        # the gated GEMM path emits the same pair set as the LSH SQL
+        # sibling (shared candidate generator + round-6 threshold) minus
+        # the float-order-caveated cosine column
+        "embedding_neardup_gated": (
+            "SELECT vec_a, vec_b FROM (\n"
+            + _o.embedding_neardup_lsh_sql(
+                dim=_EMB_DIM, threshold=0.4, nbits=4, ntables=8
+            )
+            + "\n)"
         ),
         "streaming_dedup": _o.streaming_dedup_sql(
             f"{stage}/stream_state/codes/*/*.parquet"

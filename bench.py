@@ -38,6 +38,7 @@ HEADLINE = [
     "ngram_jaccard",
     "embedding_neardup",
     "embedding_neardup_lsh",
+    "embedding_neardup_gated",
     "ann_topk",
     "ann_lsh_topk",
     "token_counts",

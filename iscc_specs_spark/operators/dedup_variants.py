@@ -194,7 +194,10 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
 
 
 def embedding_neardup_pairs_gemm(
-    emb: DataFrame, threshold: float = 0.95, block: int = 4096
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block: int = 4096,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Production brute-force cosine verifier: distributed blocked GEMM.
 
@@ -213,6 +216,15 @@ def embedding_neardup_pairs_gemm(
     round-6; the SQL sibling therefore remains the DuckDB-oracled
     correctness query and this is the benched production operator (same
     pattern as substring md5-oracle / xxh64-production).
+
+    ``candidates`` (vec_a, vec_b with vec_a < vec_b) switches the verifier
+    from all-tile-pairs to CANDIDATE-GATED mode: only tile pairs that hold
+    at least one candidate are materialized (the tile-pair key set comes
+    from the candidates themselves — a broadcast-sized distinct over
+    (vec_a div block, vec_b div block)), and the scored output is
+    semi-joined back to the candidate set, so the quadratic (n/block)²
+    growth term disappears — work is O(|candidate tile pairs|). This is
+    the composition ``embedding_neardup_gated`` wires end-to-end.
     """
     import pandas as pd
 
@@ -224,17 +236,39 @@ def embedding_neardup_pairs_gemm(
     packed = e.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("rows")
     )
-    tile_pairs = (
-        packed.select(
-            F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
-        )
-        .join(
+    if candidates is None:
+        tile_pairs = (
             packed.select(
-                F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
-            ),
-            F.col("blk_a") <= F.col("blk_b"),
+                F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+            )
+            .join(
+                packed.select(
+                    F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+                ),
+                F.col("blk_a") <= F.col("blk_b"),
+            )
         )
-    )
+    else:
+        # vec_a < vec_b and floor is monotone, so blk_a <= blk_b — the
+        # gated tile-pair keys line up with the a<=b tile enumeration
+        cand_tiles = candidates.select(
+            F.floor(F.col("vec_a") / block).cast("long").alias("blk_a"),
+            F.floor(F.col("vec_b") / block).cast("long").alias("blk_b"),
+        ).dropDuplicates()
+        tile_pairs = (
+            cand_tiles.join(
+                packed.select(
+                    F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+                ),
+                "blk_a",
+            )
+            .join(
+                packed.select(
+                    F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+                ),
+                "blk_b",
+            )
+        )
 
     def score(batches):
         for pdf in batches:
@@ -264,9 +298,16 @@ def embedding_neardup_pairs_gemm(
                 }
             )
 
-    return tile_pairs.mapInPandas(
+    scored = tile_pairs.mapInPandas(
         score, "vec_a long, vec_b long, cosine double"
     )
+    if candidates is not None:
+        # a gated tile pair still scores every row pair inside it; keep
+        # only the pairs the candidate generator actually proposed
+        scored = scored.join(
+            candidates.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi"
+        )
+    return scored
 
 
 def embedding_neardup_lsh(
@@ -305,54 +346,19 @@ def embedding_neardup_lsh(
     edges would). Size ``nbits`` so typical buckets stay under the cap;
     the cap is the guard for the skew tail, not the common case.
     """
-    from iscc_specs_spark.operators.ann import hyperplanes, rhp_signature
-
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
-    if dim is None:
-        # ArrayType has no static length; inferring dim would run a
-        # plan-time job (same contract as ann.rhp_lsh_topk)
-        raise ValueError(
-            "embedding_neardup_lsh requires dim (embedding dimensionality)"
-        )
-    bucket_structs = [
-        F.struct(
-            F.lit(t).alias("t"),
-            rhp_signature("v", hyperplanes(dim, nbits, seed + 1000 * t)).alias("h"),
-        )
-        for t in range(ntables)
-    ]
-    bucketed = e.select(
-        "vec_id", "v", "nrm", F.explode(F.array(*bucket_structs)).alias("b")
-    ).select("vec_id", "v", "nrm", F.col("b.t").alias("t"), F.col("b.h").alias("h"))
-    if materialize:
-        # the signature subtree (ntables × nbits hyperplane dot products
-        # per vector) has ~5 consumers below (sizes, both cold join sides,
-        # hot, hubs) — without materialization Spark re-expands it once per
-        # consumer (same incident as lsh.dup_pairs' slim table; CLAUDE.md).
-        # At warehouse scale this is a written, bucketed stage table.
-        bucketed = bucketed.localCheckpoint(eager=True)
-
-    sizes = bucketed.groupBy("t", "h").agg(F.count("*").alias("bucket_n"))
-    hot_keys = sizes.where(F.col("bucket_n") > bucket_cap).select("t", "h")
-    cold = bucketed.join(F.broadcast(hot_keys), ["t", "h"], "left_anti")
-
-    # candidate generation ships KEYS ONLY through the band self-join (the
-    # 64-double vector payload would multiply shuffle bytes ~10×), and
-    # scoring happens exactly once per UNIQUE candidate pair after the
-    # dedup — previously each pair was cosine-scored once per shared
-    # bucket (up to ntables×), and the interpreted fold is the expensive
-    # part (~50 µs/pair).
-    cand_cold = (
-        cold.select(F.col("vec_id").alias("vec_a"), "t", "h")
-        .join(cold.select(F.col("vec_id").alias("vec_b"), "t", "h"), ["t", "h"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates()
+    cand = rhp_candidate_pairs(
+        e, nbits=nbits, ntables=ntables, seed=seed, dim=dim,
+        bucket_cap=bucket_cap, materialize=materialize,
     )
-    pairs_cold = (
-        cand_cold.join(
+    # scoring happens exactly once per UNIQUE candidate pair (candidates
+    # are deduped before the payload joins — previously each pair was
+    # cosine-scored once per shared bucket, up to ntables×, and the
+    # interpreted fold is the expensive part at ~50 µs/pair)
+    return (
+        cand.join(
             e.select(
                 F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                 F.col("nrm").alias("na"),
@@ -373,30 +379,121 @@ def embedding_neardup_lsh(
                 dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
+        .where(F.col("cosine") >= threshold)
     )
 
-    # hot buckets: one hub row per (t, h) via map-side-combinable min_by →
+
+def rhp_candidate_pairs(
+    e: DataFrame,
+    nbits: int = 4,
+    ntables: int = 8,
+    seed: int = 11,
+    dim: int | None = None,
+    bucket_cap: int = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Keys-only RHP-LSH candidate pairs (vec_a < vec_b, deduped) over a
+    prepared ``e`` (vec_id, v) — the shared candidate generator behind
+    :func:`embedding_neardup_lsh` (SQL-fold scorer, the DuckDB-oracled
+    sibling) and :func:`embedding_neardup_gated` (blocked-GEMM scorer, the
+    production path).
+
+    The band self-join ships KEYS ONLY (the 64-double vector payload would
+    multiply shuffle bytes ~10×; scorers join payloads back by vec_id).
+    Buckets over ``bucket_cap`` are hub-and-spoke routed: members pair only
+    with the bucket-min vec_id — O(k) edges per mega-bucket that preserve
+    connectivity for clustering (see embedding_neardup_lsh docstring).
+    """
+    from iscc_specs_spark.operators.ann import hyperplanes, rhp_signature
+
+    if dim is None:
+        # ArrayType has no static length; inferring dim would run a
+        # plan-time job (same contract as ann.rhp_lsh_topk)
+        raise ValueError(
+            "rhp_candidate_pairs requires dim (embedding dimensionality)"
+        )
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("t"),
+            rhp_signature("v", hyperplanes(dim, nbits, seed + 1000 * t)).alias("h"),
+        )
+        for t in range(ntables)
+    ]
+    bucketed = e.select(
+        "vec_id", F.explode(F.array(*bucket_structs)).alias("b")
+    ).select("vec_id", F.col("b.t").alias("t"), F.col("b.h").alias("h"))
+    if materialize:
+        # the signature subtree (ntables × nbits hyperplane dot products
+        # per vector) has 4 consumers below (sizes, both cold join sides,
+        # hot) — without materialization Spark re-expands it once per
+        # consumer (same incident as lsh.dup_pairs' slim table; CLAUDE.md).
+        # Keys-only now, so the checkpoint is ~10× slimmer than when it
+        # carried the vector payloads. At warehouse scale this is a
+        # written stage table bucketed by (t, h).
+        bucketed = bucketed.localCheckpoint(eager=True)
+
+    sizes = bucketed.groupBy("t", "h").agg(F.count("*").alias("bucket_n"))
+    hot_keys = sizes.where(F.col("bucket_n") > bucket_cap).select("t", "h")
+    cold = bucketed.join(F.broadcast(hot_keys), ["t", "h"], "left_anti")
+    cand_cold = (
+        cold.select(F.col("vec_id").alias("vec_a"), "t", "h")
+        .join(cold.select(F.col("vec_id").alias("vec_b"), "t", "h"), ["t", "h"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+
+    # hot buckets: one hub id per (t, h) via map-side-combinable min →
     # broadcast back; the hot keys never hash-partition a shuffle with
     # unbounded rows behind them.
     hot = bucketed.join(F.broadcast(hot_keys), ["t", "h"], "left_semi")
-    hubs = hot.groupBy("t", "h").agg(
-        F.min_by(F.struct("vec_id", "v", "nrm"), F.col("vec_id")).alias("hub")
-    )
-    pairs_hot = (
+    hubs = hot.groupBy("t", "h").agg(F.min("vec_id").alias("hub_id"))
+    cand_hot = (
         hot.join(F.broadcast(hubs), ["t", "h"])
-        .where(F.col("vec_id") != F.col("hub.vec_id"))
+        .where(F.col("vec_id") != F.col("hub_id"))
         .select(
-            F.least("vec_id", "hub.vec_id").alias("vec_a"),
-            F.greatest("vec_id", "hub.vec_id").alias("vec_b"),
-            F.round(
-                dot_expr(F.col("v"), F.col("hub.v"))
-                / (F.col("nrm") * F.col("hub.nrm")), 6
-            ).alias("cosine"),
+            F.least("vec_id", "hub_id").alias("vec_a"),
+            F.greatest("vec_id", "hub_id").alias("vec_b"),
         )
     )
+    return cand_cold.unionByName(cand_hot).dropDuplicates()
 
-    return (
-        pairs_cold.unionByName(pairs_hot)
-        .dropDuplicates(["vec_a", "vec_b"])
-        .where(F.col("cosine") >= threshold)
+
+def embedding_neardup_gated(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    nbits: int = 4,
+    ntables: int = 8,
+    seed: int = 11,
+    dim: int | None = None,
+    bucket_cap: int = 1000,
+    block: int = 4096,
+    materialize: bool = True,
+) -> DataFrame:
+    """The production embedding near-dup path: RHP-LSH candidate generation
+    gated into the blocked-GEMM exact verifier — the composition the two
+    component operators exist for. Candidate pairs (identical generator to
+    :func:`embedding_neardup_lsh` — same buckets, same hub routing, same
+    dedup) select which vector tiles the GEMM materializes and which scored
+    pairs survive, so the scorer does O(|candidate tile pairs|) tile work
+    instead of the full-table (n/block)² sweep, and the per-pair cost is
+    BLAS (~0.05 µs) instead of the interpreted SQL fold (~50 µs).
+
+    Pair-set semantics match embedding_neardup_lsh (same candidates, same
+    round-6 cosine-≥-threshold cut); cosines carry the GEMM float-order
+    caveat (see embedding_neardup_pairs_gemm), which round-6 absorbs except
+    exactly at a rounding boundary — tests/test_dedup_variants.py pins
+    pair-set equality on the benchmark tables.
+    """
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cand = rhp_candidate_pairs(
+        e, nbits=nbits, ntables=ntables, seed=seed, dim=dim,
+        bucket_cap=bucket_cap, materialize=materialize,
+    )
+    if materialize:
+        # two consumers (tile-pair keys + the post-score semi-join)
+        cand = cand.localCheckpoint(eager=True)
+    return embedding_neardup_pairs_gemm(
+        emb, threshold=threshold, block=block, candidates=cand
     )

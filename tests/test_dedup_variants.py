@@ -97,3 +97,31 @@ def test_embedding_neardup_gemm_matches_sql(spark):
     )
     z = embedding_neardup_pairs_gemm(withzero, threshold=0.4, block=64)
     assert not [r for r in z.collect() if 99990 in (r["vec_a"], r["vec_b"])]
+
+
+def test_embedding_neardup_gated_matches_lsh_sql(spark):
+    """The composed production path (RHP-LSH candidates -> blocked-GEMM
+    verify over candidate tiles only) finds exactly the pair set of the
+    DuckDB-oracled SQL-fold sibling embedding_neardup_lsh — same candidate
+    generator, same round-6 threshold, different scorer. block=64 forces
+    many gated tile pairs; a small bucket_cap also pushes pairs through
+    the hot-bucket hub route."""
+    from iscc_specs_spark.operators.dedup_variants import (
+        embedding_neardup_gated,
+        embedding_neardup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    kw = dict(threshold=0.4, dim=64, bucket_cap=100)
+    sql_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_neardup_lsh(emb, **kw).collect()
+    }
+    gated_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_neardup_gated(emb, block=64, **kw).collect()
+    }
+    assert sql_pairs, "fixture must produce pairs"
+    assert set(sql_pairs) == set(gated_pairs)
+    for k in sql_pairs:
+        assert abs(sql_pairs[k] - gated_pairs[k]) <= 1e-6, k
