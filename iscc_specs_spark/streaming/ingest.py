@@ -367,6 +367,20 @@ def process_dedup_batch(
         # so a template-farm band key costs O(|new|) candidates per batch
         # instead of O(|new| × |hist_bucket|) — without this the per-batch
         # candidate volume grows linearly with the mega-cluster's age.
+        #
+        # Recall under the cap: a bucket only goes hot when > bucket_cap
+        # docs share a full band key, which at 16×4 MinHash banding means
+        # a template farm of near-identical docs — a new member that is a
+        # true near-dup of ANY farm member is a near-dup of the hub too,
+        # so the single hub edge preserves CLUSTER recall (curate_state's
+        # CC closes the transitive hull; pinned by
+        # tests/test_streaming.py::test_hot_bucket_hub_preserves_cluster_
+        # recall, and the batch pipeline's identical routing measures
+        # 1.0/1.0 at 400 k docs with a planted farm — RECALL.json). The
+        # residual miss class is a *heterogeneous* hot bucket (band-hash
+        # coincidence between unrelated docs) where the new doc matches a
+        # non-hub member only — bounded by cap choice, mirrored exactly in
+        # the DuckDB twin so parity never masks it.
         nbn = F.broadcast(nb.withColumnRenamed("url", "new_url"))
         new_keys = nb.select("band_id", "band_hash").dropDuplicates()
         hb_new = hb.join(F.broadcast(new_keys), ["band_id", "band_hash"])

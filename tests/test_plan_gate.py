@@ -109,6 +109,16 @@ def test_staged_queries_read_from_materialized_codes(plans):
         )
 
 
+def test_ann_topk_uses_window_group_limit(plans):
+    """Both ANN top-k entry points rely on Spark's InferWindowGroupLimit to
+    turn the per-query `row_number <= k` filter into a partial top-k
+    (WindowGroupLimit) instead of a full per-query sort — pin the operator
+    so a config or version change can't silently reintroduce the
+    single-task sort (ann.py:73-79,175-181)."""
+    for name in ("ann_topk", "ann_lsh_topk"):
+        assert "WindowGroupLimit" in plans[name], name
+
+
 def test_no_python_stages_outside_codegen_and_sources(plans):
     """Queries whose inputs are the driver parquet tables (not the synthetic
     mapInPandas sources) must contain at most the single codegen Python

@@ -318,6 +318,34 @@ def test_cross_history_hot_bucket_hub_routed(spark, tmp_path):
     assert got == [("https://new.example/p/1", hist_urls[0])], got
 
 
+def test_hot_bucket_hub_preserves_cluster_recall(spark, tmp_path):
+    """A new true near-dup arriving into a >cap template-farm bucket gets
+    exactly one hub edge, and curation still places it in the SAME cluster
+    as every farm member — hub routing trades pair recall for bounded
+    candidate volume without losing cluster recall."""
+    from iscc_specs_spark.streaming.ingest import (
+        curate_state,
+        process_dedup_batch,
+    )
+
+    state = str(tmp_path / "state_hub_recall")
+    mh = list(range(64))
+    farm = [f"https://farm.example/p/{i:04d}" for i in range(100)]
+    rows = [(u, 5, 7777, mh, f"top_{u}", None) for u in farm]
+    process_dedup_batch(
+        _mini_codes(spark, rows), 0, state, bucket_cap=64
+    )
+    process_dedup_batch(
+        _mini_codes(spark, [("https://new.example/p/1", 5, 7777, mh, "t_n", None)]),
+        1, state, bucket_cap=64,
+    )
+    curated = curate_state(spark, state)
+    clusters = {r["url"]: r["cluster_id"] for r in curated.collect()}
+    want = clusters[farm[0]]
+    assert all(clusters[u] == want for u in farm)
+    assert clusters["https://new.example/p/1"] == want
+
+
 def _mini_codes(spark, rows):
     """(url, cid_body, simhash, minhash, tophash, warc_ts) rows — the slim
     schema process_dedup_batch needs."""
