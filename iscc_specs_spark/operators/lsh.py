@@ -158,6 +158,41 @@ def _band_structs(bands: int, rows: int, subkeys: int = 4) -> list:
     return out
 
 
+BAND_PFX_BUCKETS = 64
+
+
+def band_pfx(buckets: int = BAND_PFX_BUCKETS):
+    """Partition-prefix expression over a (band_id, band_hash) row — the
+    shared at-rest bucketing key for band tables (batch stage table in
+    plans/dedup.py, streaming maintained index in streaming/ingest.py):
+    a reader probing a known key set prunes to pmod-matching partition
+    directories instead of scanning the table."""
+    return F.pmod(
+        F.xxhash64(F.col("band_id"), F.col("band_hash")), F.lit(buckets)
+    ).cast("int")
+
+
+def band_rows_table(
+    slim: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS
+) -> DataFrame:
+    """(m struct(url,cid_body,simhash,tophash), band_id, band_hash) — the
+    banded representative table with the verification payload riding along
+    (see verified_bucket_pairs). Exposed so plans/dedup.py can write it as
+    a band_pfx-partitioned stage table and feed the SAME at-rest rows to
+    the metrics pass and the pair generator."""
+    payload = F.struct(
+        F.col("url"), F.col("cid_body"), F.col("simhash"), F.col("tophash")
+    )
+    return slim.select(
+        payload.alias("m"),
+        F.explode(F.array(*_band_structs(bands, rows))).alias("b"),
+    ).select(
+        "m",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
 def verified_bucket_pairs(
     slim: DataFrame,
     bands: int = DEFAULT_BANDS,
@@ -165,6 +200,7 @@ def verified_bucket_pairs(
     bucket_cap: int = 64,
     cid_max: int = CID_T_MAX_HAMMING,
     sim_max: int = SIMHASH_MAX_HAMMING,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Banding + candidate generation + exact verification in one shuffle
     chain — no post-hoc join back to the code table.
@@ -184,13 +220,15 @@ def verified_bucket_pairs(
     verify_pairs. Returns (url_a, url_b, cid_hamming, simhash_hamming,
     exact_dup) for capped buckets plus unverified hub edges flagged
     verified=false.
+
+    ``band_rows``: pass a precomputed band table (e.g. the band_pfx-
+    partitioned stage table plans/dedup.py writes) to skip the in-plan
+    banding; must have band_rows_table's (m, band_id, band_hash) shape.
     """
-    payload = F.struct(
-        F.col("url"), F.col("cid_body"), F.col("simhash"), F.col("tophash")
-    )
-    band_rows = slim.select(
-        payload.alias("m"), F.explode(F.array(*_band_structs(bands, rows))).alias("b")
-    ).select("m", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    if band_rows is None:
+        band_rows = band_rows_table(slim, bands, rows)
+    else:
+        band_rows = band_rows.select("m", "band_id", "band_hash")
 
     sizes = band_rows.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n")
@@ -392,6 +430,7 @@ def dup_pairs(
     compute_jaccard: bool = True,
     materialize: bool = True,
     slim: DataFrame | None = None,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """codes → verified duplicate pairs (exact ∪ minhash-LSH ∪ simhash).
 
@@ -416,7 +455,9 @@ def dup_pairs(
         slim = rep_codes(codes)
         if materialize:
             slim = slim.localCheckpoint(eager=True)
-    vb = verified_bucket_pairs(slim, bands, rows, bucket_cap, cid_max, sim_max)
+    vb = verified_bucket_pairs(
+        slim, bands, rows, bucket_cap, cid_max, sim_max, band_rows=band_rows
+    )
     small_ok = (
         vb.where(F.col("verified"))
         .drop("verified")

@@ -103,20 +103,34 @@ def run_dedup(
             # text-only run: no Instance-ID — disable the exact stage by
             # making every "group" the url itself
             codes = codes.withColumn("tophash", F.col("url"))
-        # one slim representative table feeds BOTH the metrics pass and
-        # dup_pairs (previously two independent full-corpus aggregations)
+        # one slim representative table feeds BOTH the band stage and the
+        # exact-dup pairing (previously two independent full-corpus
+        # aggregations)
         slim = lsh.rep_codes(codes).localCheckpoint(eager=True)
-        if collect_lsh_metrics:
-            band_table = lsh.minhash_bands(slim, cfg.bands, cfg.rows).union(
-                lsh.simhash_bands(slim)
-            )
-            metrics = lsh_metrics(band_table, cfg.bucket_cap)
+        # the banded representative table is a WRITTEN stage, at rest
+        # partitioned by band_pfx (pmod of the band key): one banding pass
+        # feeds both the metrics aggregation and the pair generator, the
+        # manifest records the bucketed layout, and a key-set probe of the
+        # stage (e.g. an incremental re-check against this snapshot) reads
+        # only matching partition directories — same contract as the
+        # streaming band index (streaming/ingest.py)
+        if store.has("bands"):
+            band_rows = store.read(spark, "bands")
         else:
-            metrics = {}
+            band_rows = store.write(
+                lsh.band_rows_table(slim, cfg.bands, cfg.rows).withColumn(
+                    "band_pfx", lsh.band_pfx()
+                ),
+                "bands",
+                partition_by=["band_pfx"],
+            )
+        metrics = (
+            lsh_metrics(band_rows, cfg.bucket_cap) if collect_lsh_metrics else {}
+        )
         pairs = store.write(
             lsh.dup_pairs(
                 codes, cfg.bands, cfg.rows, cfg.bucket_cap, cfg.cid_max,
-                cfg.sim_max, slim=slim,
+                cfg.sim_max, slim=slim, band_rows=band_rows,
             ),
             "dup_pairs",
             metrics,

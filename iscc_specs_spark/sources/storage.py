@@ -99,6 +99,7 @@ class StageStore:
             "rows": rows,
             "wall_ms": wall_ms,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partition_by": partition_by or [],
             "partitions": lineage_rows,
             "metrics": extra_metrics or {},
         }

@@ -47,14 +47,12 @@ FLAGS_SCHEMA = "url string, dup_of string, src string, ingest_batch int"
 # scan. The bucket count must stay constant for a state dir's lifetime
 # (it is baked into the stored directory layout); indexes written before
 # this column existed are detected by the missing column and read unpruned.
-INDEX_BUCKETS = 64
-
-
-def band_pfx(buckets: int = INDEX_BUCKETS):
-    """Partition-prefix expression over a (band_id, band_hash) row."""
-    return F.pmod(
-        F.xxhash64(F.col("band_id"), F.col("band_hash")), F.lit(buckets)
-    ).cast("int")
+# The prefix expression and bucket count are shared with the batch
+# pipeline's at-rest band stage table (operators/lsh.py).
+from iscc_specs_spark.operators.lsh import (  # noqa: E402
+    BAND_PFX_BUCKETS as INDEX_BUCKETS,
+    band_pfx,
+)
 
 
 def read_dup_flags(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -182,3 +182,38 @@ def test_canonical_pick_minby_no_window(spark):
     )
     assert per.where("n_canon <> 1").count() == 0
     assert out.count() == 600
+
+
+def test_band_stage_is_bucketed_at_rest(spark, tmp_path):
+    """The rep/band table is a WRITTEN stage partitioned by band_pfx: the
+    manifest records the layout, the directory has the pfx dirs, a
+    key-filtered probe of the stage carries the partition filter (static
+    pruning), and resume reuses the stage byte-identically."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "bandstage")
+    pages = generate_pages(spark, 300, partitions=4)
+    r1 = run_dedup(spark, pages, out, DedupConfig())
+    man = r1["store"].manifest("bands")
+    assert man["partition_by"] == ["band_pfx"]
+    pfx_dirs = [d for d in os.listdir(out + "/bands") if d.startswith("band_pfx=")]
+    assert len(pfx_dirs) > 1
+    # a key-set probe of the at-rest stage prunes to matching partitions
+    probe = (
+        r1["store"].read(spark, "bands")
+        .where(F.col("band_pfx").isin([1, 2, 3]))
+        .select("band_id", "band_hash")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = next((ln for ln in plan.splitlines() if "PartitionFilters" in ln), "")
+    assert "band_pfx" in pf, plan
+    # resume (kill after stage ②): bands not rewritten, clusters identical
+    c1 = sorted(map(tuple, r1["clusters"].collect()))
+    bands_manifest_1 = r1["store"].manifest("bands")
+    for stage in ("clusters", "canonical"):
+        os.remove(os.path.join(out, f"{stage}.manifest.json"))
+    r2 = run_dedup(spark, pages, out, DedupConfig())
+    assert sorted(map(tuple, r2["clusters"].collect())) == c1
+    assert r2["store"].manifest("bands") == bands_manifest_1
