@@ -407,11 +407,25 @@ def encode_gif_gray(pixels: np.ndarray) -> bytes:
     if mat.ndim != 2:
         raise ValueError("encode_gif_gray expects a 2-D grayscale matrix")
     h, w = mat.shape
-    clear, end = 256, 257
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0xF7, 0, 0])  # 256-entry GCT, bg 0, no aspect
+        + gct
+        + _gif_frame_blob(mat)
+        + b"\x3b"
+    )
 
-    # literal-only LZW: every pixel is a 9-bit root code; the decoder's
-    # table grows by one per code after a CLEAR, so resetting every 250
-    # codes keeps the table below 512 entries (width stays 9 bits)
+
+def _gif_frame_blob(mat: np.ndarray) -> bytes:
+    """Full-frame image descriptor + literal-only LZW stream for one frame.
+
+    Literal-only LZW: every pixel is a 9-bit root code; the decoder's
+    table grows by one per code after a CLEAR, so resetting every 250
+    codes keeps the table below 512 entries (width stays 9 bits)."""
+    h, w = mat.shape
+    clear, end = 256, 257
     bits = bytearray()
     acc = since_clear = 0
     nacc = 0
@@ -440,14 +454,132 @@ def encode_gif_gray(pixels: np.ndarray) -> bytes:
         bytes([len(bits[i : i + 255])]) + bytes(bits[i : i + 255])
         for i in range(0, len(bits), 255)
     )
+    return (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([8])  # LZW min code size
+        + sub_blocks
+        + b"\x00"
+    )
+
+
+def encode_gif_gray_frames(
+    frames: list[np.ndarray], delay_ms: int = 100
+) -> bytes:
+    """Animated grayscale GIF89a writer: one full-frame image per entry
+    with a Graphic Control Extension carrying ``delay_ms`` (rounded to the
+    GIF centisecond grid) and disposal 'do not dispose' — the payload
+    synthesis twin of :func:`decode_gif_frames`. Lossless per frame."""
+    if not frames:
+        raise ValueError("encode_gif_gray_frames needs at least one frame")
+    mats = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = mats[0].shape
+    if any(m.shape != (h, w) for m in mats):
+        raise ValueError("all frames must share one shape")
     gct = bytes(v for i in range(256) for v in (i, i, i))
+    gce = (
+        b"\x21\xf9\x04"
+        + bytes([0x04])  # disposal=1 (do not dispose), no transparency
+        + struct.pack("<H", max(delay_ms // 10, 1))
+        + b"\x00\x00"
+    )
     return (
         b"GIF89a"
         + struct.pack("<HH", w, h)
-        + bytes([0xF7, 0, 0])  # 256-entry GCT, bg 0, no aspect
+        + bytes([0xF7, 0, 0])
         + gct
-        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-        + bytes([8])  # LZW min code size
-        + sub_blocks
-        + b"\x00\x3b"
+        + b"".join(gce + _gif_frame_blob(m) for m in mats)
+        + b"\x3b"
     )
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int = 256
+) -> tuple[list[np.ndarray], np.ndarray, list[int]]:
+    """→ (canvas snapshots [H×W uint8 indices], global palette (N,3),
+    per-frame delays in ms) — the multi-frame sibling of
+    :func:`decode_gif` for animation sampling.
+
+    Coalescing semantics: each frame renders onto the running canvas
+    (disposal 'none'/'do not dispose'); disposal 'restore to background'
+    refills the frame rect with the background index afterwards. Honest
+    scope limits (classified, never guessed): per-frame local color
+    tables, transparency, interlaced animation frames and disposal
+    'restore previous' raise NotImplementedError — the deterministic
+    synthesis path (encode_gif_gray_frames) never emits them, and wild
+    GIFs using them classify as 'unsupported' in the operators layer.
+    """
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    if sw * sh > MAX_DECODE_PIXELS:
+        raise ImageTooLarge(f"GIF {sw}x{sh} exceeds decode-size guard")
+    packed = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if packed >> 7:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+            -1, 3
+        ).copy()
+        pos += 3 * n
+    if gct is None:
+        raise ValueError("animated GIF without a global color table")
+
+    fill = bg_index if bg_index < len(gct) else 0
+    canvas = np.full((sh, sw), fill, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    delay_ms = 0
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:
+            if data[pos + 1] == 0xF9 and data[pos + 2] >= 4:
+                gpacked = data[pos + 3]
+                if gpacked & 1:
+                    raise NotImplementedError("transparent animation frame")
+                disposal = (gpacked >> 2) & 7
+                if disposal == 3:
+                    raise NotImplementedError("GIF disposal 'restore previous'")
+                delay_ms = struct.unpack("<H", data[pos + 4 : pos + 6])[0] * 10
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked >> 7:
+                raise NotImplementedError("per-frame local color table")
+            if (ipacked >> 6) & 1:
+                raise NotImplementedError("interlaced animation frame")
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(min_code_size, b"".join(chunks), max_out=w * h),
+                dtype=np.uint8,
+            ).reshape(h, w)
+            canvas[top : top + h, left : left + w] = idx
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+            if disposal == 2:  # restore frame rect to background
+                canvas[top : top + h, left : left + w] = fill
+            delay_ms = 0
+            disposal = 0
+            if len(frames) >= max_frames:
+                break
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames, gct, delays
