@@ -198,3 +198,148 @@ def test_gif_frames_rejects_unsupported_features():
             break
     with pytest.raises(NotImplementedError):
         decode_gif_frames(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# sampling operators (kernel level, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_frames_grid():
+    from iscc_specs_spark.operators.multimodal import sample_frames
+
+    frames = _frames(3)
+    data = encode_gif_gray_frames(frames, delay_ms=100)  # timeline 0/100/200
+    out = sample_frames(data, every_ms=100)
+    assert [t for t, _ in out] == [0, 100, 200]
+    for (_, got), want in zip(out, frames):
+        assert np.array_equal(got, want)
+    # coarser grid skips the middle frame
+    out = sample_frames(data, every_ms=250)
+    assert [t for t, _ in out] == [0, 250]
+    assert np.array_equal(out[1][1], frames[2])
+
+
+def test_sample_frames_rejects_compressed():
+    from iscc_specs_spark.operators.multimodal import sample_frames
+
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+
+
+def test_sample_audio_windows_exact():
+    from iscc_specs_spark.operators.multimodal import sample_audio_windows
+
+    # 8000 Hz, 1.5 s; constant block then louder block → hand-checkable
+    sig = np.concatenate(
+        [np.full(8000, 100, np.int16), np.full(4000, -400, np.int16)]
+    )
+    rate, dur, windows = sample_audio_windows(
+        encode_wav_pcm16(sig, 8000), window_ms=500
+    )
+    assert (rate, dur) == (8000, 1500)
+    assert [w[0] for w in windows] == [0, 500, 1000]
+    assert [w[1] for w in windows] == [100, 100, 400]  # mean |x|
+    assert [w[2] for w in windows] == [100, 100, 400]  # peak
+    # the single sign flip sits on the 8000-sample boundary -> counts in
+    # the later window (window totals sum to the signal total)
+    assert [w[3] for w in windows] == [0, 0, 1]
+
+
+def test_sample_audio_window_flip_semantics():
+    # pin exactly where a boundary flip is counted: flips[i] marks the
+    # change between samples i-1 and i; window [lo,hi) counts
+    # flips[lo:hi], so a flip AT a window boundary belongs to the later
+    # window and per-window counts conserve the signal total
+    from iscc_specs_spark.operators.multimodal import sample_audio_windows
+
+    sig = np.array([10, -10, 10, -10], dtype=np.int16)
+    _, _, windows = sample_audio_windows(
+        encode_wav_pcm16(sig, 2), window_ms=1000
+    )  # two 2-sample windows at 2 Hz
+    assert [w[3] for w in windows] == [1, 2]
+
+
+def test_audio_fp_properties():
+    from iscc_specs_spark.operators.multimodal import audio_fp
+
+    quiet, loud = np.full(320, 10, np.int64), np.full(320, 1000, np.int64)
+    sig = np.concatenate([quiet, loud])
+    fp = audio_fp(sig)
+    assert len(fp) == 8
+    bits = np.unpackbits(np.frombuffer(fp, np.uint8))
+    assert bits[:32].sum() == 0 and bits[32:].sum() == 64 - 32
+    # scale invariance (envelope shape preserved)
+    assert audio_fp(sig * 7) == fp
+
+
+def test_video_fp_single_frame_is_its_image_hash():
+    from iscc_specs_spark.kernel.images import image_hash, resize_bicubic
+    from iscc_specs_spark.operators.multimodal import video_fp
+
+    f = _frames(1)[0]
+    assert video_fp([f]) == image_hash(resize_bicubic(f))
+
+
+# ---------------------------------------------------------------------------
+# distributed av_codes
+# ---------------------------------------------------------------------------
+
+
+def test_av_codes_distributed_matches_local(spark):
+    from iscc_specs_spark.operators.multimodal import (
+        audio_fp,
+        av_codes,
+        sample_frames,
+        synthetic_assets,
+        video_fp,
+    )
+    from iscc_specs_spark.kernel.wavcodec import decode_wav
+
+    assets = synthetic_assets(spark, n=60)
+    rows = {r["asset_id"]: r for r in av_codes(assets).collect()}
+    local = {r["asset_id"]: r for r in assets.collect()}
+    assert len(rows) == 40  # 20 audio + 20 video of 60
+    n_ok = 0
+    for aid, r in rows.items():
+        payload = bytes(local[aid]["payload"])
+        kind = local[aid]["kind"]
+        if r["decode_status"] == "unsupported":
+            assert (aid // 3) % 5 == 4
+            assert r["av_code"] is None and r["fp_body"] is None
+            continue
+        assert r["decode_status"] == "ok"
+        n_ok += 1
+        if kind == "audio":
+            rate, samples = decode_wav(payload)
+            n, ch = samples.shape
+            mono = (
+                samples.astype(np.int64).sum(axis=1) // ch
+                if ch > 1
+                else samples[:, 0].astype(np.int64)
+            )
+            want = audio_fp(mono)
+            assert r["duration_ms"] == local[aid]["duration_ms"]
+        else:
+            want = video_fp([f for _, f in sample_frames(payload, every_ms=250)])
+        assert r["av_hex"] == want.hex()
+        assert r["fp_body"] == int.from_bytes(want, "big", signed=True)
+        assert r["av_code"] is not None and len(r["av_code"]) == 13
+    assert n_ok == 32  # 4 of every 5 per kind decode
+
+
+def test_av_codes_failure_classes(spark):
+    import pandas as pd
+    from iscc_specs_spark.operators.multimodal import av_codes
+
+    wav_trunc = encode_wav_pcm16(_tone(100, 9), 8000)[:20]  # fmt cut off
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "kind": ["audio", "video", "audio"],
+            "payload": [None, b"\x1a\x45\xdf\xa3" + b"\x00" * 32, wav_trunc],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["asset_id"]: r["decode_status"] for r in av_codes(df).collect()}
+    assert got == {1: "null_payload", 2: "unsupported", 3: "corrupt"}
