@@ -205,6 +205,26 @@ def _q_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_av_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed A/V sampling track: real WAV-PCM / animated-GIF payloads
+    (plus deterministic compressed-codec stand-in blobs) → window/frame
+    sampling → 64-bit engine-defined fingerprint under the spec's reserved
+    CID-A/CID-V headers (operators/multimodal.py:av_codes). The
+    fingerprint kernels are pinned by self-vectors (tests/test_av.py);
+    the DuckDB twin re-derives the per-kind base58 code and hex form from
+    the staged signed body and pins container/duration/status columns."""
+    from iscc_specs_spark.operators.multimodal import av_codes, synthetic_assets
+
+    codes = av_codes(synthetic_assets(spark, n=64))
+    _stage(codes, sf_dir, "av_codes")
+    # read the staged table back so the decode mapInPandas runs exactly once
+    staged = spark.read.parquet(os.path.join(_stage_dir(sf_dir), "av_codes"))
+    return staged.select(
+        "asset_id", "kind", "container", "duration_ms", "n_samples",
+        "av_code", "av_hex", "fp_body", "decode_status",
+    )
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.dedup_variants import exact_dups
 
@@ -519,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_matches": _q_substring_matches,
         "multimodal_features": _q_multimodal_features,
         "image_codes": _q_image_codes,
+        "av_codes": _q_av_codes,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_canonical": _q_streaming_canonical,
@@ -603,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_matches": _o.substring_matches_sql(min_len=48),
         "multimodal_features": _o.multimodal_features_sql(assets_pq),
         "image_codes": _o.image_codes_sql(f"{stage}/image_codes/*.parquet"),
+        "av_codes": _o.av_codes_sql(f"{stage}/av_codes/*.parquet"),
         "ann_lsh_topk": _o.ann_lsh_topk_sql(
             dim=_EMB_DIM, k=5, nbits=8, ntables=4
         ),

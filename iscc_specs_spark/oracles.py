@@ -613,6 +613,30 @@ FROM s
 """
 
 
+def av_codes_sql(staged_path: str) -> str:
+    """Twin of the distributed A/V track (operators/multimodal.py:av_codes):
+    the 64-bit fingerprint itself is pinned by the self-vector suite
+    (tests/test_av.py); this twin independently re-derives the base58
+    CID-A/CID-V code string (per-kind header byte) and the hex form from
+    the staged signed fingerprint body, NULL-safe across the failure
+    classes (same pattern as image_codes_sql)."""
+    from iscc_specs_spark.kernel.constants import HEAD_CID_A, HEAD_CID_V
+
+    pa, pv = encode(HEAD_CID_A), encode(HEAD_CID_V)
+    u = unsigned64("fp_body")
+    return f"""
+WITH s AS (SELECT * FROM read_parquet('{staged_path}'))
+SELECT asset_id, kind, container, duration_ms, n_samples,
+       CASE WHEN fp_body IS NULL THEN NULL
+            WHEN kind = 'audio' THEN '{pa}' || {base58_body_sql(u)}
+            ELSE '{pv}' || {base58_body_sql(u)} END AS av_code,
+       CASE WHEN fp_body IS NULL THEN NULL
+            ELSE lower(lpad(hex({u}), 16, '0')) END AS av_hex,
+       fp_body, decode_status
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # end-to-end curation twins (plans/curate.py:run_curation): quality gate +
 # dedup/CC/canonical + token accounting recomposed entirely in DuckDB from
