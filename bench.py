@@ -47,6 +47,7 @@ HEADLINE = [
     "fingerprints",
     "multimodal_features",
     "image_codes_2k",
+    "av_codes_4k",
     # relational surface
     "q1_pricing",
     "top_customers",
@@ -133,9 +134,28 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             synthetic_assets,
         )
 
-        return image_codes(synthetic_assets(s, n=6000, partitions=64))
+        return image_codes(
+            synthetic_assets(s, n=6000, partitions=64, kinds=("image",))
+        )
 
     qs["image_codes_2k"] = _image_codes_2k
+
+    # A/V-track throughput: 2k WAV-PCM + 2k animated-GIF payloads through
+    # window/frame sampling + fingerprint in one Arrow pass (the driver
+    # query's 64-asset version is a correctness row, not a benchmark)
+    def _av_codes_4k(s, sf_dir_):
+        from iscc_specs_spark.operators.multimodal import (
+            av_codes,
+            synthetic_assets,
+        )
+
+        return av_codes(
+            synthetic_assets(
+                s, n=6000, partitions=64, kinds=("audio", "video")
+            )
+        )
+
+    qs["av_codes_4k"] = _av_codes_4k
     # warmup: JVM JIT + Arrow + Python-UDF worker pool (one tiny pandas-UDF
     # pass per executor thread spins up workers and builds the normalize
     # tables, so the first timed UDF query isn't charged for cold start)

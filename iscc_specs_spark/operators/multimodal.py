@@ -446,7 +446,12 @@ def av_codes(
     return av.mapInPandas(run, schema=AV_SCHEMA)
 
 
-def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+def synthetic_assets(
+    spark,
+    n: int = 64,
+    partitions: int = 4,
+    kinds: tuple = ("image", "audio", "video"),
+) -> DataFrame:
     """Deterministic fake asset table for tests/benchmarks.
 
     Image-kind assets carry REAL decodable payloads rotating across all
@@ -459,7 +464,12 @@ def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     delay), except every 5th of each, which stays an opaque byte blob —
     standing in for the compressed codecs this environment cannot decode,
     so the 'unsupported' failure class is always exercised and its rate is
-    pinned by the driver oracle."""
+    pinned by the driver oracle.
+
+    ``kinds`` narrows which kinds get real payloads (the others carry NULL
+    payloads at zero cost) — benchmarks that consume a single kind pass it
+    so payload synthesis for the unconsumed kinds isn't billed to the
+    measured query; the asset-id ↔ kind rotation itself never changes."""
     from iscc_specs_spark.kernel.imagecodec import (
         encode_gif_gray,
         encode_gif_gray_frames,
@@ -517,10 +527,14 @@ def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].astype(int)
-            kinds = [("image", "audio", "video")[i % 3] for i in ids]
+            row_kinds = [("image", "audio", "video")[i % 3] for i in ids]
             payloads, media, durations = [], [], []
-            for i, k in zip(ids, kinds):
-                if k == "image":
+            for i, k in zip(ids, row_kinds):
+                if k not in kinds:
+                    payloads.append(None)
+                    media.append("application/x-null")
+                    durations.append(0)
+                elif k == "image":
                     payloads.append(_image_payload(i))
                     media.append(f"image/{('png', 'gif', 'jpeg')[(i // 3) % 3]}")
                     durations.append(0)
@@ -541,7 +555,7 @@ def synthetic_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
-                    "kind": kinds,
+                    "kind": row_kinds,
                     "payload": payloads,
                     "media_type": media,
                     "width": [0] * len(ids),
