@@ -25,6 +25,11 @@ import numpy as np
 MAX_DECODE_SAMPLES = 64_000_000  # frames × channels guard (≈128 MB int16)
 
 
+class AudioTooLarge(NotImplementedError):
+    """Payload exceeds MAX_DECODE_SAMPLES — classified, never decoded
+    (the audio sibling of imagecodec.ImageTooLarge)."""
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """bytes → (sample_rate, samples (n_frames, channels) int16).
 
@@ -60,14 +65,14 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if bits == 16:
         n = len(payload) // (2 * channels)
         if n * channels > MAX_DECODE_SAMPLES:
-            raise ValueError("WAV exceeds decode-size guard")
+            raise AudioTooLarge("WAV exceeds decode-size guard")
         samples = np.frombuffer(
             payload, dtype="<i2", count=n * channels
         ).reshape(n, channels).astype(np.int16)
     elif bits == 8:
         n = len(payload) // channels
         if n * channels > MAX_DECODE_SAMPLES:
-            raise ValueError("WAV exceeds decode-size guard")
+            raise AudioTooLarge("WAV exceeds decode-size guard")
         raw = np.frombuffer(payload, dtype=np.uint8, count=n * channels)
         samples = (
             (raw.astype(np.int16) - 128) << 8

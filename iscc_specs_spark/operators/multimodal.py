@@ -369,7 +369,7 @@ def av_codes(
     from iscc_specs_spark.kernel.codec import encode
     from iscc_specs_spark.kernel.constants import HEAD_CID_A, HEAD_CID_V
     from iscc_specs_spark.kernel.imagecodec import ImageTooLarge, sniff
-    from iscc_specs_spark.kernel.wavcodec import decode_wav
+    from iscc_specs_spark.kernel.wavcodec import AudioTooLarge, decode_wav
 
     def one(kind: str, payload: bytes):
         if payload is None:
@@ -405,7 +405,7 @@ def av_codes(
             else:
                 return (container, None, None, None, None, None, "unsupported")
         except NotImplementedError as e:
-            if isinstance(e, ImageTooLarge):
+            if isinstance(e, (ImageTooLarge, AudioTooLarge)):
                 return (container, None, None, None, None, None, "too_large")
             return (container, None, None, None, None, None, "unsupported")
         except Exception:

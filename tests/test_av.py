@@ -343,3 +343,18 @@ def test_av_codes_failure_classes(spark):
     df = spark.createDataFrame(pdf)
     got = {r["asset_id"]: r["decode_status"] for r in av_codes(df).collect()}
     assert got == {1: "null_payload", 2: "unsupported", 3: "corrupt"}
+
+
+def test_wav_size_guard_classifies_too_large():
+    # over the decode-size guard the codec must classify (AudioTooLarge
+    # is a NotImplementedError subclass, so av_codes maps it to the
+    # 'too_large' status), never allocate the giant buffer
+    import iscc_specs_spark.kernel.wavcodec as wc
+
+    old = wc.MAX_DECODE_SAMPLES
+    wc.MAX_DECODE_SAMPLES = 100
+    try:
+        with pytest.raises(wc.AudioTooLarge):
+            wc.decode_wav(encode_wav_pcm16(_tone(4000, 37), 8000))
+    finally:
+        wc.MAX_DECODE_SAMPLES = old
