@@ -162,6 +162,41 @@ def start_image_codes_stream(
     return writer.start()
 
 
+def start_av_codes_stream(
+    assets_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Audio/video assets arriving continuously → engine-defined CID-A/CID-V
+    fingerprint table — the A/V sibling of :func:`start_image_codes_stream`
+    (operators/multimodal.py:av_codes is the identical Arrow-batched stage
+    as batch: WAV-PCM window sampling + animated-GIF frame sampling).
+    Exactly-once via checkpoint + per-batch ``ingest_batch`` partition
+    overwrite, so a replayed batch overwrites itself."""
+    from iscc_specs_spark.operators.multimodal import av_codes
+
+    codes = av_codes(assets_stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        codes.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_dedup_stream(
     pages_stream: DataFrame,
     state_dir: str,

@@ -248,6 +248,49 @@ def test_streaming_image_codes_match_batch(spark, tmp_path):
     assert got == want and len(got) == 10  # every 3rd of 30 is an image
 
 
+def test_streaming_av_codes_match_batch(spark, tmp_path):
+    """A/V assets arriving in two micro-batch drops produce the same
+    engine-defined fingerprints and failure classes as one batch pass
+    (real WAV-PCM / animated-GIF sampling kernels)."""
+    from iscc_specs_spark.operators.multimodal import av_codes, synthetic_assets
+    from iscc_specs_spark.streaming.ingest import (
+        read_assets_stream,
+        start_av_codes_stream,
+    )
+
+    src = str(tmp_path / "av_src")
+    out = str(tmp_path / "av_codes_out")
+    ckpt = str(tmp_path / "ckpt_av")
+
+    assets = synthetic_assets(spark, n=30).localCheckpoint(eager=True)
+    os.makedirs(src)
+    assets.where("asset_id < 15").coalesce(1).write.parquet(src + "/tmp1")
+    assets.where("asset_id >= 15").coalesce(1).write.parquet(src + "/tmp2")
+    import shutil
+
+    n = 0
+    for d in ("tmp1", "tmp2"):
+        for f in os.listdir(f"{src}/{d}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src}/{d}/{f}", f"{src}/b{n}.parquet")
+                n += 1
+
+    q = start_av_codes_stream(
+        read_assets_stream(spark, src, max_files_per_trigger=1), out, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["asset_id"]: (r["av_code"], r["decode_status"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["asset_id"]: (r["av_code"], r["decode_status"])
+        for r in av_codes(assets).collect()
+    }
+    assert got == want and len(got) == 20  # 10 audio + 10 video of 30
+
+
 def test_curate_state_matches_batch_clusters(spark, tmp_path):
     """Curation over accumulated streaming state produces the same cluster
     partition and the same canonical picks as the batch pipeline on the
