@@ -358,3 +358,22 @@ def test_wav_size_guard_classifies_too_large():
             wc.decode_wav(encode_wav_pcm16(_tone(4000, 37), 8000))
     finally:
         wc.MAX_DECODE_SAMPLES = old
+
+
+def test_synthetic_assets_kinds_narrowing(spark):
+    # benches pass kinds= so unconsumed kinds cost no payload synthesis;
+    # the asset_id ↔ kind rotation itself must never change
+    from iscc_specs_spark.operators.multimodal import synthetic_assets
+
+    rows = {r["asset_id"]: r for r in synthetic_assets(
+        spark, n=12, kinds=("image",)
+    ).collect()}
+    full = {r["asset_id"]: r for r in synthetic_assets(spark, n=12).collect()}
+    assert {i: r["kind"] for i, r in rows.items()} == {
+        i: r["kind"] for i, r in full.items()
+    }
+    for i, r in rows.items():
+        if r["kind"] == "image":
+            assert bytes(r["payload"]) == bytes(full[i]["payload"])
+        else:
+            assert r["payload"] is None
