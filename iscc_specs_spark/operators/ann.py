@@ -180,3 +180,179 @@ def rhp_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + list-pruned search
+# ---------------------------------------------------------------------------
+
+_IVF_FP = 1 << 20  # fixed-point scale for order-independent centroid sums
+
+
+def ivf_build(
+    emb: DataFrame,
+    k_lists: int = 16,
+    iters: int = 3,
+    dim: int | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic spherical k-means coarse quantizer → (centroids,
+    assignments(vec_id, list_id)).
+
+    Spark-first Lloyd iterations with two properties a shared-nothing
+    engine needs:
+
+      * **assignment is one Arrow GEMM pass** (mapInPandas): each batch is
+        scored against the broadcast k×dim centroid matrix in a single
+        NumPy matmul — no n×k row explosion, the embedding column never
+        shuffles;
+      * **centroid update is exact integer arithmetic**: per-list component
+        sums are accumulated as fixed-point BIGINTs (posexplode →
+        groupBy(list, pos).sum), so the result is independent of partition
+        count and reduce order — float summation order would make the
+        model nondeterministic across cluster layouts. New centroid =
+        (sum / count) rounded back to the fixed-point grid.
+
+    Init = the ``k_lists`` corpus vectors with the smallest
+    ``xxhash64(vec_id)`` (a deterministic spread sample; one bounded
+    driver job at model-build time — this is a build, not a plan). Empty
+    lists keep their previous centroid. This is a model-build job: at
+    100 TB you run it on a sample and broadcast the centroids.
+    """
+    import pandas as pd
+
+    if dim is None:
+        raise ValueError("ivf_build requires dim (see rhp_lsh_topk)")
+    corpus = _as_double(emb, "v").localCheckpoint(eager=True)
+
+    init = (
+        corpus.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(k_lists)
+        .collect()
+    )
+    cent = np.array([r["v"] for r in init], dtype=np.float64)
+
+    def assign_pass(c_mat: np.ndarray):
+        c_norm = c_mat / np.maximum(
+            np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+        )
+
+        def run(batches):
+            for pdf in batches:
+                x = np.array(list(pdf["v"]), dtype=np.float64)
+                if x.size == 0:
+                    continue
+                xn = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                lists = (xn @ c_norm.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "list_id": lists.astype("int64")}
+                )
+
+        return corpus.mapInPandas(run, schema="vec_id long, list_id long")
+
+    for _ in range(iters):
+        assign = assign_pass(cent)
+        sums = (
+            assign.join(corpus, "vec_id")
+            .select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * _IVF_FP).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = cent.copy()
+        for lid in range(k_lists):
+            comp = [r for r in sums if r["list_id"] == lid]
+            if comp:
+                n = comp[0]["n"]
+                for r in comp:
+                    new[lid, r["pos"]] = round(r["s"] / n) / _IVF_FP
+        cent = new
+
+    return cent.tolist(), assign_pass(cent)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    k_lists: int = 16,
+    iters: int = 3,
+    dim: int | None = None,
+    model: tuple[list[list[float]], DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-pruned approximate top-k (same output schema as brute force).
+
+    Each query probes its ``nprobe`` nearest coarse centroids and is
+    re-ranked exactly against only the corpus vectors assigned to those
+    lists — the classic inverted-file trade: recall is controlled by
+    nprobe/k_lists, and the scan cost drops to ~nprobe/k_lists of the
+    corpus. At 100 TB the assignment table is written partitioned by
+    ``list_id`` (so a probe prunes partitions at the scan) and the
+    centroid table is a broadcast literal; here both joins are expressed
+    so Catalyst broadcasts the tiny sides and the corpus embedding column
+    moves through exactly one equi-join.
+
+    Pass ``model`` (from :func:`ivf_build`) to reuse a trained quantizer;
+    otherwise one is built from the corpus with (k_lists, iters).
+    """
+    if dim is None:
+        raise ValueError("ivf_topk requires dim (see rhp_lsh_topk)")
+    cent_list, assign = model if model is not None else ivf_build(
+        emb, k_lists=k_lists, iters=iters, dim=dim
+    )
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent_list)],
+        schema="list_id long, c array<double>",
+    ).withColumn("ncent", F.sqrt(dot_expr(F.col("c"), F.col("c"))))
+
+    q = (
+        _as_double(queries, "vq")
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumn("nq", F.sqrt(dot_expr(F.col("vq"), F.col("vq"))))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("probe_score").desc(), F.col("list_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id", "vq", "nq", "list_id",
+            _cos(F.col("vq"), F.col("nq"), F.col("c"), F.col("ncent")).alias(
+                "probe_score"
+            ),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "vq", "nq", "list_id")
+    )
+
+    corpus = (
+        _as_double(emb, "vc")
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("nc", F.sqrt(dot_expr(F.col("vc"), F.col("vc"))))
+        .join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    cand = corpus.join(F.broadcast(probes), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _cos(F.col("vq"), F.col("nq"), F.col("vc"), F.col("nc")).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
