@@ -205,6 +205,35 @@ def _q_image_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/ann.py:ivf_build/ivf_topk): deterministic
+    fixed-point k-means coarse quantizer, nprobe-pruned exact re-rank.
+    The quantizer model (centroids + assignments) is staged; the DuckDB
+    twin recomputes the probe selection and within-list top-k from the
+    staged model with the same 6-dp cosine rounding, so the entire search
+    semantics are oracle-checked (the model build itself is pinned by the
+    partition-invariance and full-probe==brute-force tests)."""
+    from iscc_specs_spark.operators.ann import ivf_build, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    model = ivf_build(emb, k_lists=8, iters=2, dim=_EMB_DIM)
+    cents, assign = model
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        schema="list_id long, c array<double>",
+    )
+    _stage(cent_df, sf_dir, "ivf_centroids")
+    _stage(assign, sf_dir, "ivf_assign")
+    res = ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
+        dim=_EMB_DIM, model=model,
+    )
+    return res.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_av_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed A/V sampling track: real WAV-PCM / animated-GIF payloads
     (plus deterministic compressed-codec stand-in blobs) → window/frame
@@ -541,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_codes": _q_image_codes,
         "av_codes": _q_av_codes,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_canonical": _q_streaming_canonical,
         # SQL-oracled operators
@@ -625,6 +655,39 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _o.multimodal_features_sql(assets_pq),
         "image_codes": _o.image_codes_sql(f"{stage}/image_codes/*.parquet"),
         "av_codes": _o.av_codes_sql(f"{stage}/av_codes/*.parquet"),
+        "ann_ivf_topk": f"""
+            WITH cent AS (SELECT list_id, CAST(c AS DOUBLE[]) AS c
+                          FROM read_parquet('{stage}/ivf_centroids/*.parquet')),
+            asg AS (SELECT vec_id, list_id
+                    FROM read_parquet('{stage}/ivf_assign/*.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+            probe AS (
+                SELECT query_id, list_id FROM (
+                    SELECT q.vec_id AS query_id, cent.list_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY {_COS.format(a="q.v", b="cent.c")} DESC,
+                                        cent.list_id) AS rn
+                    FROM q CROSS JOIN cent)
+                WHERE rn <= 2),
+            cand AS (
+                SELECT DISTINCT p.query_id, asg.vec_id AS neighbor_id
+                FROM probe p JOIN asg USING (list_id)
+                WHERE asg.vec_id <> p.query_id),
+            scored AS (
+                SELECT c.query_id, c.neighbor_id,
+                       {_COS.format(a="qe.v", b="ne.v")} AS cosine
+                FROM cand c
+                JOIN e qe ON qe.vec_id = c.query_id
+                JOIN e ne ON ne.vec_id = c.neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id, cosine,
+                              CAST(row_number() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+        """,
         "ann_lsh_topk": _o.ann_lsh_topk_sql(
             dim=_EMB_DIM, k=5, nbits=8, ntables=4
         ),

@@ -24,8 +24,10 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# intentionally quadratic / nested-loop query shapes (documented verifiers)
-NESTED_LOOP_OK = {"embedding_neardup", "ann_topk"}
+# intentionally quadratic / nested-loop query shapes (documented verifiers;
+# ann_ivf_topk's is the bounded query × k_lists-centroid broadcast probe —
+# every query scores every coarse centroid by design, k_lists is O(100s))
+NESTED_LOOP_OK = {"embedding_neardup", "ann_topk", "ann_ivf_topk"}
 
 
 def _plan(df) -> str:
