@@ -41,6 +41,7 @@ HEADLINE = [
     "embedding_neardup_gated",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "token_counts",
     "quality_scores",
     "language_id",
