@@ -1,6 +1,6 @@
 """Approximate nearest-neighbor search over an embedding column.
 
-Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
+Three paths over ``embeddings(vec_id, embedding array<float>, label)``:
 
   * ``brute_force_topk``  — exact cosine top-k: broadcast the (small) query
     set against the corpus; one narrow map + one shuffle for the per-query
@@ -11,6 +11,12 @@ Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
     hashed once to a ``nbits``-bit signature; queries probe their own bucket
     (plus multi-probe single-bit flips), exact cosine re-rank inside the
     probed buckets only.
+  * ``ivf_build``/``ivf_topk`` — inverted-file scale path: a deterministic
+    spherical k-means coarse quantizer partitions the corpus into
+    ``k_lists`` lists; each query probes its ``nprobe`` nearest centroids
+    and re-ranks exactly within those lists only (scan cost ≈
+    nprobe/k_lists of the corpus; at rest the assignment table is
+    partitioned by list_id so probes prune at the scan).
 
 At 100 TB the brute-force path is a full corpus scan per query batch (fine
 for few queries — it is one broadcast join, no shuffle of the corpus); the
