@@ -224,9 +224,15 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _stage(cent_df, sf_dir, "ivf_centroids")
     _stage(assign, sf_dir, "ivf_assign")
+    # read the staged assignment back so the GEMM assignment pass runs
+    # exactly once and the DuckDB twin ranks from the IDENTICAL table (a
+    # lazy re-execution could tie-break a float argmax differently)
+    assign_staged = spark.read.parquet(
+        os.path.join(_stage_dir(sf_dir), "ivf_assign")
+    )
     res = ivf_topk(
         emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
-        dim=_EMB_DIM, model=model,
+        dim=_EMB_DIM, model=(cents, assign_staged),
     )
     return res.select(
         "query_id", "neighbor_id", "cosine",

@@ -92,12 +92,13 @@ def image_hash(pixels) -> bytes:
 
 
 def content_id_image(img, partial: bool = False) -> str:
-    """Content-ID-Image (reference iscc.py:81-96): encoded PNG/GIF bytes or
-    a raw pixel matrix run the full normalize → DCT hash → encode path. A
+    """Content-ID-Image (reference iscc.py:81-96): encoded PNG/GIF/JPEG
+    bytes or a raw pixel matrix run the full normalize → DCT hash → encode
+    path (all three codecs decode for real and are golden-vector
+    conformant — kernel/imagecodec.py, kernel/jpegcodec.py). A
     pre-normalized 32×32 grayscale matrix passes through normalize
     unchanged (the same-size resample is an exact identity), so both entry
-    styles agree. JPEG bytes raise — decode is implementation-defined
-    (kernel/imagecodec.py)."""
+    styles agree."""
     digest = image_hash(image_normalize(img))
     head = HEAD_CID_I_PCF if partial else HEAD_CID_I
     return encode(head + digest)
@@ -205,8 +206,9 @@ def image_normalize(img) -> list[list[int]]:
     """Reference iscc.py:214-228: decode → grayscale → 32×32 bicubic →
     nested-list pixel matrix.
 
-    Accepts encoded PNG/GIF bytes (JPEG raises — implementation-defined
-    decode, kernel/imagecodec.py), an (H, W) grayscale matrix, or an
+    Accepts encoded PNG/GIF/JPEG bytes (all three decode for real —
+    kernel/imagecodec.py + kernel/jpegcodec.py, golden-vector conformant
+    incl. both JPEG-input vectors), an (H, W) grayscale matrix, or an
     (H, W, 3|4) RGB(A) matrix — so any externally-decoded image flows the
     full reference path."""
     if isinstance(img, (bytes, bytearray)):

@@ -73,8 +73,14 @@ def fake_decode_image(payload: bytes, side: int = 32) -> "np.ndarray":
 
 def sample_frames(
     payload: bytes, every_ms: int = 1000, max_samples: int = 64
-) -> list[tuple[int, "np.ndarray"]]:
-    """Sample animation frames on an ``every_ms`` grid → [(ts_ms, gray)].
+) -> tuple[list[tuple[int, "np.ndarray"]], int]:
+    """Sample animation frames on an ``every_ms`` grid →
+    ([(ts_ms, gray)], total_duration_ms).
+
+    ``total_duration_ms`` is the decoded timeline's true length (sum of
+    per-frame delays), independent of the sampling grid and of the
+    ``max_samples`` cap — callers reporting duration must use it, not the
+    last sample's timestamp.
 
     REAL for the uncompressed container this environment can decode:
     animated (and still) GIF via kernel/imagecodec.py:decode_gif_frames —
@@ -111,7 +117,7 @@ def sample_frames(
         gray = to_grayscale("P", frames[idx], palette)
         out.append((t, gray))
         t += every_ms
-    return out
+    return out, total
 
 
 def sample_audio_windows(
@@ -375,7 +381,8 @@ def av_codes(
         if payload is None:
             return ("unknown", None, None, None, None, None, "null_payload")
         raw = bytes(payload)
-        container = sniff(raw) if sniff(raw) != "unknown" else (
+        sniffed = sniff(raw)
+        container = sniffed if sniffed != "unknown" else (
             "wav" if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE" else "unknown"
         )
         try:
@@ -398,10 +405,9 @@ def av_codes(
                 fp = audio_fp(mono)
                 head, dur, nsamp = HEAD_CID_A, n * 1000 // rate, -(-n // fpw)
             elif kind == "video":
-                sampled = sample_frames(raw, every_ms=every_ms)
+                sampled, total_ms = sample_frames(raw, every_ms=every_ms)
                 fp = video_fp([f for _, f in sampled])
-                last_ts = sampled[-1][0]
-                head, dur, nsamp = HEAD_CID_V, last_ts + every_ms, len(sampled)
+                head, dur, nsamp = HEAD_CID_V, total_ms, len(sampled)
             else:
                 return (container, None, None, None, None, None, "unsupported")
         except NotImplementedError as e:
@@ -492,7 +498,7 @@ def synthetic_assets(
         fmt = ("png", "gif", "jpeg")[(i // 3) % 3]
         return encoders[fmt](mat.astype(np.uint8))
 
-    def _blob(i: int, k: str) -> bytes:
+    def _blob(i: int) -> bytes:
         return bytes(
             np.frombuffer(
                 hashlib.sha256(f"asset-{i}".encode()).digest() * (8 + i % 5),
@@ -539,7 +545,7 @@ def synthetic_assets(
                     media.append(f"image/{('png', 'gif', 'jpeg')[(i // 3) % 3]}")
                     durations.append(0)
                 elif (i // 3) % 5 == 4:  # compressed-codec stand-in blob
-                    payloads.append(_blob(i, k))
+                    payloads.append(_blob(i))
                     media.append(f"application/x-fake-{k}")
                     durations.append(0)
                 elif k == "audio":

@@ -272,6 +272,38 @@ def _read_history(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def _effective_index_buckets(state_dir: str, requested: int) -> int:
+    """The band index's ON-DISK bucket count always wins over the caller's
+    parameter: ``band_pfx`` partition pruning is only correct when probe
+    prefixes are computed with the same modulus the index was written
+    with — a mismatched parameter would silently prune away true
+    vs-history matches (missed dup flags, no error). First writer records
+    the modulus in ``bands/_INDEX_META.json`` (underscore-prefixed files
+    are invisible to Spark's parquet listing); later batches — and
+    restarts with a different default — derive it from there. Local-FS
+    JSON is the sandbox seam; at warehouse scale this is one more field in
+    the table's manifest (sources/storage.py)."""
+    import json
+    import os
+
+    meta = os.path.join(state_dir, "bands", "_INDEX_META.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(json.load(f)["index_buckets"])
+    return requested
+
+
+def _record_index_buckets(state_dir: str, n: int) -> None:
+    import json
+    import os
+
+    meta = os.path.join(state_dir, "bands", "_INDEX_META.json")
+    if not os.path.exists(meta):
+        os.makedirs(os.path.dirname(meta), exist_ok=True)
+        with open(meta, "w") as f:
+            json.dump({"index_buckets": n}, f)
+
+
 def read_band_index(
     spark: SparkSession,
     state_dir: str,
@@ -330,13 +362,17 @@ def process_dedup_batch(
     only matching partition directories (static pruning, visible in the
     plan's PartitionFilters and in ``inputFiles()``), so probe I/O per
     batch is bounded by the new batch's key-prefix coverage of the index
-    rather than the index's full size. ``index_buckets`` must match the
-    value the state dir was written with; a legacy index without the
-    column is read unpruned (correct, just unbounded I/O).
+    rather than the index's full size. The bucket modulus is recorded in
+    the index's ``_INDEX_META.json`` on first write and ALWAYS wins over
+    the ``index_buckets`` parameter afterwards (a mismatched modulus would
+    silently prune away true matches); a legacy index without the
+    ``band_pfx`` column is read unpruned (correct, just unbounded I/O).
     """
     from iscc_specs_spark.operators import lsh
 
     spark = batch_df.sparkSession
+    index_buckets = _effective_index_buckets(state_dir, index_buckets)
+    _record_index_buckets(state_dir, index_buckets)
     batch = batch_df.localCheckpoint(eager=True)
 
     # within-batch pairs (standard path; url_a < url_b → flag url_b)

@@ -210,12 +210,14 @@ def test_sample_frames_grid():
 
     frames = _frames(3)
     data = encode_gif_gray_frames(frames, delay_ms=100)  # timeline 0/100/200
-    out = sample_frames(data, every_ms=100)
+    out, total = sample_frames(data, every_ms=100)
+    assert total == 300  # true timeline, independent of the grid
     assert [t for t, _ in out] == [0, 100, 200]
     for (_, got), want in zip(out, frames):
         assert np.array_equal(got, want)
-    # coarser grid skips the middle frame
-    out = sample_frames(data, every_ms=250)
+    # coarser grid skips the middle frame; duration unchanged
+    out, total = sample_frames(data, every_ms=250)
+    assert total == 300
     assert [t for t, _ in out] == [0, 250]
     assert np.array_equal(out[1][1], frames[2])
 
@@ -321,7 +323,9 @@ def test_av_codes_distributed_matches_local(spark):
             want = audio_fp(mono)
             assert r["duration_ms"] == local[aid]["duration_ms"]
         else:
-            want = video_fp([f for _, f in sample_frames(payload, every_ms=250)])
+            sampled, total_ms = sample_frames(payload, every_ms=250)
+            want = video_fp([f for _, f in sampled])
+            assert r["duration_ms"] == total_ms
         assert r["av_hex"] == want.hex()
         assert r["fp_body"] == int.from_bytes(want, "big", signed=True)
         assert r["av_code"] is not None and len(r["av_code"]) == 13

@@ -505,3 +505,34 @@ def test_band_index_probe_plan_is_pruned_scan(spark, tmp_path):
     assert "ingest_batch" in pf and "band_pfx" in pf, plan
     for banned in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert banned not in plan, plan
+
+
+def test_index_bucket_modulus_survives_restart(spark, tmp_path):
+    """The band index's on-disk bucket modulus must win over a mismatched
+    index_buckets parameter after a restart: probe prefixes computed with
+    a different modulus would prune away true vs-history matches
+    SILENTLY. _INDEX_META.json records the modulus at first write; a later
+    batch asking for a different value derives the stored one and still
+    flags the cross-batch near-dups."""
+    import json
+
+    from iscc_specs_spark.streaming.ingest import process_dedup_batch
+
+    state = str(tmp_path / "state_modulus")
+    pages = generate_pages(spark, 40, partitions=2)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    b0 = codes.where("url like '%/p/0'")
+    b1 = codes.where("url not like '%/p/0'")
+
+    process_dedup_batch(b0, 0, state, index_buckets=64)
+    with open(state + "/bands/_INDEX_META.json") as f:
+        assert json.load(f) == {"index_buckets": 64}
+
+    # restart with a DIFFERENT requested modulus: stored layout must win
+    process_dedup_batch(b1, 1, state, index_buckets=8)
+    flags = spark.read.parquet(state + "/dup_flags").collect()
+    assert any(r["src"] == "vs_history" for r in flags), (
+        "cross-batch near-dups lost under a mismatched bucket modulus"
+    )
+    with open(state + "/bands/_INDEX_META.json") as f:
+        assert json.load(f) == {"index_buckets": 64}  # unchanged
