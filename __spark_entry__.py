@@ -240,6 +240,32 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semantic.py): k-means-partitioned cosine
+    duplicate groups, keep-the-least-central representative per group.
+    The quantizer model is staged (sem_centroids / sem_assign) and the
+    assignment read back so the GEMM argmax runs exactly once; the DuckDB
+    twin recomputes centroid similarity, within-list pairs, connected
+    components and the representative pick from the staged model."""
+    from iscc_specs_spark.operators.ann import ivf_build
+    from iscc_specs_spark.operators.semantic import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    cents, assign = ivf_build(emb, k_lists=8, iters=2, dim=_EMB_DIM)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        schema="list_id long, c array<double>",
+    )
+    _stage(cent_df, sf_dir, "sem_centroids")
+    _stage(assign, sf_dir, "sem_assign")
+    assign_staged = spark.read.parquet(
+        os.path.join(_stage_dir(sf_dir), "sem_assign")
+    )
+    return semantic_dedup(
+        emb, threshold=0.4, dim=_EMB_DIM, model=(cents, assign_staged)
+    )
+
+
 def _q_av_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed A/V sampling track: real WAV-PCM / animated-GIF payloads
     (plus deterministic compressed-codec stand-in blobs) → window/frame
@@ -585,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "embedding_neardup_gated": _q_embedding_neardup_gated,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk": _q_ann_topk,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -696,6 +723,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _o.ann_lsh_topk_sql(
             dim=_EMB_DIM, k=5, nbits=8, ntables=4
+        ),
+        "semantic_dedup": _o.semantic_dedup_sql(
+            f"{stage}/sem_centroids/*.parquet",
+            f"{stage}/sem_assign/*.parquet",
+            threshold=0.4,
         ),
         "embedding_neardup_lsh": _o.embedding_neardup_lsh_sql(
             dim=_EMB_DIM, threshold=0.4, nbits=4, ntables=8

@@ -39,6 +39,7 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_neardup_lsh",
     "embedding_neardup_gated",
+    "semantic_dedup",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -399,6 +399,56 @@ SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {threshold}
 """
 
 
+def semantic_dedup_sql(
+    cent_path: str, asg_path: str, threshold: float = 0.4
+) -> str:
+    """Twin of operators/semantic.py:semantic_dedup, ranking from the STAGED
+    quantizer model (centroids + assignments): recomputes round-6 centroid
+    similarity, within-list thresholded pairs, duplicate groups via
+    recursive min-label CC, and the keep-the-least-central representative
+    pick (ORDER BY centroid_cos, vec_id — centroid_cos is never NULL, see
+    the operator docstring, so Spark's nulls-first min_by struct order and
+    this plain ORDER BY agree)."""
+    return f"""
+WITH RECURSIVE
+cent AS (SELECT list_id, CAST(c AS DOUBLE[]) AS c
+         FROM read_parquet('{cent_path}')),
+asg AS (SELECT vec_id, list_id FROM read_parquet('{asg_path}')),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT e.vec_id, asg.list_id, e.v,
+             round(list_dot_product(e.v, cent.c) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(cent.c, cent.c))), 6) AS centroid_cos
+      FROM e JOIN asg USING (vec_id) JOIN cent USING (list_id)),
+p AS (SELECT a.vec_id AS u, b.vec_id AS w
+      FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}),
+sym AS (SELECT u, w FROM p UNION SELECT w AS u, u AS w FROM p),
+cc AS (
+    SELECT vec_id, vec_id AS lbl FROM m
+    UNION
+    SELECT s.w AS vec_id, cc.lbl FROM cc JOIN sym s ON cc.vec_id = s.u
+),
+labels AS (SELECT vec_id, min(lbl) AS sem_group FROM cc GROUP BY vec_id),
+g AS (SELECT m.vec_id, m.list_id, m.centroid_cos, l.sem_group
+      FROM m JOIN labels l USING (vec_id)),
+reps AS (
+    SELECT sem_group, vec_id AS rep_id FROM (
+        SELECT sem_group, vec_id,
+               row_number() OVER (PARTITION BY sem_group
+                                  ORDER BY centroid_cos, vec_id) AS rn
+        FROM g) WHERE rn = 1
+),
+sizes AS (SELECT sem_group, CAST(count(*) AS BIGINT) AS group_size
+          FROM g GROUP BY sem_group)
+SELECT g.vec_id, g.list_id, g.centroid_cos, g.sem_group,
+       sizes.group_size, reps.rep_id, (g.vec_id = reps.rep_id) AS keep
+FROM g JOIN reps USING (sem_group) JOIN sizes USING (sem_group)
+"""
+
+
 def substring_matches_sql(
     k: int = 24, min_len: int = 48, df_cap: int = 64, min_anchors: int = 2,
 ) -> str:

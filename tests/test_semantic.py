@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from iscc_specs_spark.operators.semantic import semantic_dedup
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """10 well-separated unit base vectors; bases 0-2 get 2 extra
+    near-copies each (tiny noise, cosine > 0.99) → 3 planted duplicate
+    groups of size 3 plus 7 singletons = 16 vectors total."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(10, 8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    truth = {}  # vec_id -> planted group (base index)
+    vid = 0
+    for b in range(10):
+        copies = 3 if b < 3 else 1
+        for c in range(copies):
+            v = base[b] + (0.001 * rng.randn(8) if c else 0.0)
+            rows.append((vid, v.tolist()))
+            truth[vid] = b
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, truth
+
+
+def test_semantic_dedup_planted_groups(planted):
+    df, truth = planted
+    out = semantic_dedup(df, threshold=0.95, k_lists=4, iters=2, dim=8).collect()
+    assert len(out) == len(truth)
+    by_vec = {r["vec_id"]: r for r in out}
+    # planted copies land in one sem_group of size 3; singletons alone
+    for b in range(10):
+        members = [v for v, g in truth.items() if g == b]
+        groups = {by_vec[v]["sem_group"] for v in members}
+        assert len(groups) == 1, f"base {b} split across groups"
+        size = len(members)
+        assert all(by_vec[v]["group_size"] == size for v in members)
+    # distinct bases never merge
+    assert len({r["sem_group"] for r in out}) == 10
+
+
+def test_semantic_dedup_one_keep_per_group(planted):
+    df, _ = planted
+    out = semantic_dedup(df, threshold=0.95, k_lists=4, iters=2, dim=8).collect()
+    kept_per_group = {}
+    for r in out:
+        kept_per_group.setdefault(r["sem_group"], 0)
+        kept_per_group[r["sem_group"]] += int(r["keep"])
+    assert all(n == 1 for n in kept_per_group.values())
+    # the keep-the-novel rule: rep is the group min over (centroid_cos, vec_id)
+    groups = {}
+    for r in out:
+        groups.setdefault(r["sem_group"], []).append(r)
+    for members in groups.values():
+        want = min(members, key=lambda r: (r["centroid_cos"], r["vec_id"]))
+        assert all(r["rep_id"] == want["vec_id"] for r in members)
+        assert all(r["keep"] == (r["vec_id"] == want["vec_id"]) for r in members)
+
+
+def test_semantic_dedup_no_pairs_all_kept(planted):
+    df, truth = planted
+    # only the 10 distinct bases (first copy of each), threshold above any
+    # cross-base cosine
+    first_of_base = {}
+    for v, g in truth.items():
+        first_of_base.setdefault(g, v)
+    bases = df.where(df.vec_id.isin(list(first_of_base.values())))
+    singles = semantic_dedup(
+        df.where(df.vec_id < 1), threshold=0.99, k_lists=1, iters=1, dim=8
+    ).collect()
+    assert len(singles) == 1 and singles[0]["keep"]
+    out = semantic_dedup(bases, threshold=0.999, k_lists=2, iters=2, dim=8)
+    rows = out.collect()
+    assert all(r["group_size"] == 1 and r["keep"] for r in rows)
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = semantic_dedup(
+        emb.repartition(2), threshold=0.4, k_lists=4, iters=2, dim=64
+    ).collect()
+    b = semantic_dedup(
+        emb.repartition(13), threshold=0.4, k_lists=4, iters=2, dim=64
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # decision surface is non-trivial at this threshold on the driver table
+    assert any(not r["keep"] for r in a)
+
+
+def test_semantic_dedup_requires_dim(planted):
+    df, _ = planted
+    with pytest.raises(ValueError, match="dim"):
+        semantic_dedup(df, threshold=0.9)
