@@ -383,6 +383,17 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (operators/textstats.py:repetition_stats):
+    top-n-gram char fraction (n=2..4), duplicated-n-gram char fraction
+    (n=5..10, zero on this corpus — the synthetic word-soup never repeats a
+    5-gram within a doc, and the oracle pins the zeros too) and the
+    published pass/fail thresholds."""
+    from iscc_specs_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.textstats import language_id
 
@@ -615,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "repetition_stats": _q_repetition_stats,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "extracted_text": _q_extracted_text,
@@ -844,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
                          + 0.3 * least(n_stopwords / 5.0, 1.0), 6) AS quality_score
             FROM feats
         """,
+        "repetition_stats": _o.repetition_stats_sql(),
         "language_id": f"""
             WITH h AS (SELECT doc_id, {lang_hits} FROM documents)
             SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,

@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "token_counts",
     "quality_scores",
+    "repetition_stats",
     "language_id",
     "fingerprints",
     "multimodal_features",

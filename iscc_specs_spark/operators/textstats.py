@@ -157,3 +157,129 @@ def fingerprints(
         hf(norm).alias("content_fp"),
         F.array_min(F.transform(shingles, hf)).alias("min_shingle_fp"),
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446,
+# Table A1): a document passes when every fraction is <= its threshold.
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher within-document repetition metrics + pass/fail flag.
+
+    Per document (published method, Rae et al. 2021 §A.1.1):
+
+    * ``top{n}_frac`` (n=2..4) — characters covered by the most frequent
+      word n-gram: ``count * chars(gram) / n_chars``;
+    * ``dup{n}_frac`` (n=5..10) — characters covered by all n-grams that
+      occur more than once: ``sum(count * chars(gram)) / n_chars``;
+    * ``repetition_ok`` — true iff every fraction is <= its Gopher
+      threshold (GOPHER_TOP_THRESHOLDS / GOPHER_DUP_THRESHOLDS).
+
+    Engine-defined deviation (mirrored exactly by the DuckDB oracle twin):
+    overlapping occurrences are counted per-occurrence, not per distinct
+    character position, so each fraction is the overlap-ignoring upper
+    bound of Gopher's, capped at 1.0. Ties for "most frequent n-gram" are
+    broken by (count, chars, gram) lexicographic max — the tie-break cannot
+    change the fraction (it only depends on count and chars).
+
+    Scale: all nine gram sizes ride ONE explode of one flattened array (a
+    single map stage — tokens are split once), then one shuffle keyed by
+    (doc_id, n, gram) — the doc_id in the key makes hot grams skew-free —
+    and one per-(doc_id, n) aggregation. No UDFs, no joins against anything
+    unbounded; cost is ~9 gram rows per token, bounded by scan bandwidth.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = _tokens()
+    gram_t = "array<struct<n:int,gram:string>>"
+    def _gram_arr(n: int):
+        # NB: the lambda must take exactly ONE argument — F.transform treats
+        # a two-arg lambda as (element, index), so a `lambda i, n=n:` capture
+        # would silently rebind n to the array index.
+        return F.when(F.size(toks) < n, F.array().cast(gram_t)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+                ),
+            )
+        )
+
+    gram_arrays = [
+        _gram_arr(n)
+        for n in sorted(GOPHER_TOP_THRESHOLDS) + sorted(GOPHER_DUP_THRESHOLDS)
+    ]
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).alias("n_chars"),
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
+    )
+    counts = (
+        grams.groupBy(
+            "doc_id",
+            "n_chars",
+            F.col("g.n").alias("n"),
+            F.col("g.gram").alias("gram"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("charlen", F.length("gram"))
+    )
+    tops = (
+        counts.where(F.col("n") <= max(GOPHER_TOP_THRESHOLDS))
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(F.max(F.struct("cnt", "charlen", "gram")).alias("t"))
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("t.cnt") * F.col("t.charlen") / F.col("n_chars"),
+                ),
+                6,
+            ).alias("frac"),
+        )
+    )
+    dups = (
+        counts.where(
+            (F.col("n") >= min(GOPHER_DUP_THRESHOLDS)) & (F.col("cnt") >= 2)
+        )
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(F.sum(F.col("cnt") * F.col("charlen")).alias("dupchars"))
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                F.least(F.lit(1.0), F.col("dupchars") / F.col("n_chars")), 6
+            ).alias("frac"),
+        )
+    )
+    names = [f"top{n}_frac" for n in sorted(GOPHER_TOP_THRESHOLDS)] + [
+        f"dup{n}_frac" for n in sorted(GOPHER_DUP_THRESHOLDS)
+    ]
+    ns = sorted(GOPHER_TOP_THRESHOLDS) + sorted(GOPHER_DUP_THRESHOLDS)
+    pivoted = (
+        tops.unionByName(dups)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("frac"))).alias(name)
+                for n, name in zip(ns, names)
+            ]
+        )
+    )
+    thresholds = {
+        f"top{n}_frac": t for n, t in GOPHER_TOP_THRESHOLDS.items()
+    } | {f"dup{n}_frac": t for n, t in GOPHER_DUP_THRESHOLDS.items()}
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        pivoted, "doc_id", "left"
+    )
+    filled = [F.coalesce(F.col(name), F.lit(0.0)).alias(name) for name in names]
+    ok = None
+    for name in names:
+        cond = F.coalesce(F.col(name), F.lit(0.0)) <= F.lit(thresholds[name])
+        ok = cond if ok is None else (ok & cond)
+    return out.select("doc_id", *filled, ok.alias("repetition_ok"))

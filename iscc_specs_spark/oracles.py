@@ -449,6 +449,81 @@ FROM g JOIN reps USING (sem_group) JOIN sizes USING (sem_group)
 """
 
 
+def repetition_stats_sql() -> str:
+    """Twin of operators/textstats.py:repetition_stats (Gopher repetition
+    rules): same single-source thresholds, same overlap-ignoring capped
+    fractions, same (count, chars, gram) top-gram tie-break (which cannot
+    change the fraction), same left-join-zero-fill for gram-less docs."""
+    # import here, not at module level: operators/ pulls in pyspark, and
+    # this module stays importable without a Spark installation
+    from iscc_specs_spark.operators.textstats import (
+        GOPHER_DUP_THRESHOLDS,
+        GOPHER_TOP_THRESHOLDS,
+    )
+
+    tops = sorted(GOPHER_TOP_THRESHOLDS)
+    dups = sorted(GOPHER_DUP_THRESHOLDS)
+    names = [f"top{n}_frac" for n in tops] + [f"dup{n}_frac" for n in dups]
+    thr = {f"top{n}_frac": t for n, t in GOPHER_TOP_THRESHOLDS.items()}
+    thr |= {f"dup{n}_frac": t for n, t in GOPHER_DUP_THRESHOLDS.items()}
+    top_cols = ",\n       ".join(
+        f"max(CASE WHEN n = {n} THEN frac END) AS top{n}_frac" for n in tops
+    )
+    dup_cols = ",\n       ".join(
+        f"max(CASE WHEN n = {n} THEN frac END) AS dup{n}_frac" for n in dups
+    )
+    filled = ",\n       ".join(
+        f"coalesce(p.{name}, 0.0) AS {name}" for name in names
+    )
+    ok = " AND ".join(
+        f"coalesce(p.{name}, 0.0) <= {thr[name]}" for name in names
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+           string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, n_chars, n,
+           unnest([array_to_string(toks[i:i+n-1], ' ')
+                   for i in generate_series(1, greatest(len(toks)-n+1, 0))]) AS gram
+    FROM d, generate_series({tops[0]}, {dups[-1]}) t(n)
+    WHERE len(toks) >= n AND NOT (len(toks) = 1 AND toks[1] = '')
+),
+counts AS (
+    SELECT doc_id, n_chars, n, gram, count(*) AS cnt, length(gram) AS charlen
+    FROM g GROUP BY ALL
+),
+top_pick AS (
+    SELECT doc_id, n,
+           round(least(1.0, cnt * charlen / n_chars), 6) AS frac
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id, n
+              ORDER BY cnt DESC, charlen DESC, gram DESC) AS rn
+          FROM counts WHERE n <= {tops[-1]})
+    WHERE rn = 1
+),
+dup_sum AS (
+    SELECT doc_id, n,
+           round(least(1.0, sum(cnt * charlen) / n_chars), 6) AS frac
+    FROM counts WHERE n >= {dups[0]} AND cnt >= 2
+    GROUP BY doc_id, n, n_chars
+),
+fracs AS (SELECT * FROM top_pick UNION ALL SELECT * FROM dup_sum),
+p AS (
+    SELECT doc_id,
+       {top_cols},
+       {dup_cols}
+    FROM fracs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {filled},
+       ({ok}) AS repetition_ok
+FROM (SELECT doc_id FROM documents) d LEFT JOIN p USING (doc_id)
+"""
+
+
 def substring_matches_sql(
     k: int = 24, min_len: int = 48, df_cap: int = 64, min_anchors: int = 2,
 ) -> str:

@@ -151,3 +151,66 @@ def test_fingerprints_xxh64_same_partition_as_md5(spark):
     for rows in (md5_rows, xx_rows):
         assert rows[0]["min_shingle_fp"] == rows[1]["min_shingle_fp"]
         assert rows[0]["min_shingle_fp"] != rows[3]["min_shingle_fp"]
+
+
+def _rep_truth(text):
+    """Pure-Python twin of repetition_stats for one doc (overlap-ignoring,
+    capped, (cnt, charlen, gram)-max tie-break)."""
+    from collections import Counter
+
+    text = text or ""
+    toks = text.strip().split() if text.strip() else []
+    out = {}
+    for n, kind in [(2, "top"), (3, "top"), (4, "top")] + [
+        (n, "dup") for n in range(5, 11)
+    ]:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        if not c or not len(text):
+            out[f"{kind}{n}_frac"] = 0.0
+            continue
+        if kind == "top":
+            cnt, charlen, _ = max((v, len(k), k) for k, v in c.items())
+            frac = cnt * charlen / len(text)
+        else:
+            frac = sum(v * len(k) for k, v in c.items() if v >= 2) / len(text)
+        out[f"{kind}{n}_frac"] = round(min(1.0, frac), 6)
+    return out
+
+
+def test_repetition_stats(spark):
+    rows = [
+        # long-and-varied: passes every threshold (short docs legitimately
+        # fail top-n: one 14-char 3-gram over 59 chars is already > 0.18)
+        (0, " ".join(f"word{i} tok{i * 7 % 97}" for i in range(60))),
+        # heavy repetition: one 5-gram repeated 4x -> fails dup thresholds
+        (1, " ".join(["alpha beta gamma delta epsilon"] * 4)),
+        # top-2-gram spam: "buy now" half the doc -> fails top2
+        (2, "buy now " * 8 + "unique tail words here"),
+        (3, ""),
+        (4, None),
+        (5, "one two"),  # too short for any n>=3 gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _by_id(T.repetition_stats(df))
+    assert len(got) == 6
+    for doc_id, text in rows:
+        truth = _rep_truth(text)
+        for name, v in truth.items():
+            assert got[doc_id][name] == pytest.approx(v, abs=1e-9), (
+                doc_id,
+                name,
+            )
+        ok = all(
+            truth[f"top{n}_frac"] <= t
+            for n, t in T.GOPHER_TOP_THRESHOLDS.items()
+        ) and all(
+            truth[f"dup{n}_frac"] <= t
+            for n, t in T.GOPHER_DUP_THRESHOLDS.items()
+        )
+        assert got[doc_id]["repetition_ok"] == ok, doc_id
+    # the planted cases actually exercise both failure modes
+    assert got[0]["repetition_ok"]
+    assert not got[1]["repetition_ok"] and got[1]["dup5_frac"] > 0.5
+    assert not got[2]["repetition_ok"] and got[2]["top2_frac"] > 0.20
+    assert got[3]["repetition_ok"] and got[3]["dup10_frac"] == 0.0
