@@ -394,6 +394,37 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal
+    (operators/dedup_variants.py:line_dedup). The synthetic corpus has no
+    newlines, so the row first reflows each doc deterministically into
+    8-token lines (a pure function of the text — real crawl pages arrive
+    line-structured already), then drops every line shared by >= 2 docs
+    and fingerprints the cleaned text."""
+    from iscc_specs_spark.operators.dedup_variants import line_dedup
+
+    width = 8
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    nl = F.greatest(
+        F.floor((F.size(toks) + F.lit(width - 1)) / F.lit(width)).cast("int"),
+        F.lit(1),
+    )
+    reflowed = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), nl),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - F.lit(1)) * width + F.lit(1), width),
+                    " ",
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(reflowed, min_df=2)
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.textstats import language_id
 
@@ -627,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
+        "line_dedup": _q_line_dedup,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "extracted_text": _q_extracted_text,
@@ -857,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
             FROM feats
         """,
         "repetition_stats": _o.repetition_stats_sql(),
+        "line_dedup": _o.line_dedup_sql(min_df=2, width=8),
         "language_id": f"""
             WITH h AS (SELECT doc_id, {lang_hits} FROM documents)
             SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,

@@ -46,6 +46,7 @@ HEADLINE = [
     "token_counts",
     "quality_scores",
     "repetition_stats",
+    "line_dedup",
     "language_id",
     "fingerprints",
     "multimodal_features",

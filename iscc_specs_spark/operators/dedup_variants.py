@@ -497,3 +497,79 @@ def embedding_neardup_gated(
     return embedding_neardup_pairs_gemm(
         emb, threshold=threshold, block=block, candidates=cand
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style boilerplate line removal (Wenzek et al. 2019,
+    arXiv:1911.00359 §3.1): drop every line that occurs in >= ``min_df``
+    distinct documents, and report per-document removal metrics plus a
+    fingerprint of the cleaned text.
+
+    Per document: ``n_lines`` (lines in the input split on ``\\n``),
+    ``n_kept`` / ``n_dropped``, ``chars_dropped``, ``clean_fp`` =
+    md5(kept lines re-joined with ``\\n`` in original order). Lines that
+    are empty after trim are never counted toward document frequency and
+    never dropped (they carry formatting, not boilerplate). The drop
+    decision is exact raw-line equality — at warehouse scale you would key
+    the shuffle by xxh64(line) instead of the string (identical semantics
+    modulo a 64-bit collision); the sandbox keeps the string so the DuckDB
+    twin (oracles.py:line_dedup_sql) is collision-free identical.
+
+    Scale: one explode, then two shuffles — a (line)-keyed two-stage
+    countDistinct for document frequency (map-side partial agg) and the
+    equi-join of occurrences against the >=min_df survivor set. Line keys
+    hash uniformly; the one skew source is a viral boilerplate line on the
+    probe side, which AQE's skew-join split handles (the build side is one
+    row per line). Reassembly is a per-doc groupBy — bounded by a single
+    document's line count. No UDFs anywhere.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(text, "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("line", F.lit(True).alias("hot"))
+    )
+    flagged = lines.join(hot, "line", "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        F.coalesce(F.col("hot"), F.lit(False)).alias("dropped"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("dropped"), F.length("line"))), F.lit(0)
+            ).alias("chars_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct("pos", "dropped", "line")
+                                )
+                            ),
+                            lambda s: ~s["dropped"],
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("clean_fp"),
+        )
+    )

@@ -449,6 +449,49 @@ FROM g JOIN reps USING (sem_group) JOIN sizes USING (sem_group)
 """
 
 
+def line_dedup_sql(min_df: int = 2, width: int = 8) -> str:
+    """Twin of operators/dedup_variants.py:line_dedup over the driver row's
+    deterministic reflow (every ``width`` tokens become one line): same
+    raw-line document-frequency threshold, same trim-empty exemption, same
+    ordered reassembly + md5 fingerprint, same zero-fill for all-dropped
+    docs."""
+    w = width
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+    FROM documents
+),
+dl AS (
+    SELECT doc_id,
+           [array_to_string(toks[(i-1)*{w}+1:(i-1)*{w}+{w}], ' ')
+            for i in generate_series(1, greatest((len(toks)+{w - 1})//{w}, 1))] AS ls
+    FROM d
+),
+lines AS (
+    SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+           unnest(ls) AS line
+    FROM dl
+),
+hot AS (
+    SELECT line FROM lines WHERE trim(line) <> ''
+    GROUP BY line HAVING count(DISTINCT doc_id) >= {min_df}
+),
+flagged AS (
+    SELECT l.doc_id, l.pos, l.line, (h.line IS NOT NULL) AS dropped
+    FROM lines l LEFT JOIN hot h ON l.line = h.line
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
+       coalesce(sum(CASE WHEN dropped THEN length(line) END), 0) AS chars_dropped,
+       md5(coalesce(
+           string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos),
+           '')) AS clean_fp
+FROM flagged GROUP BY doc_id
+"""
+
+
 def repetition_stats_sql() -> str:
     """Twin of operators/textstats.py:repetition_stats (Gopher repetition
     rules): same single-source thresholds, same overlap-ignoring capped

@@ -125,3 +125,59 @@ def test_embedding_neardup_gated_matches_lsh_sql(spark):
     assert set(sql_pairs) == set(gated_pairs)
     for k in sql_pairs:
         assert abs(sql_pairs[k] - gated_pairs[k]) <= 1e-6, k
+
+
+def test_line_dedup(spark):
+    import hashlib
+
+    boiler = "(c) example corp all rights reserved"
+    nav = "home | about | contact"
+    rows = [
+        (0, f"{boiler}\nunique zero body text\n{nav}"),
+        (1, f"{boiler}\nanother distinct body\n{nav}"),
+        (2, f"{boiler}\nthird doc content here"),
+        (3, "entirely original document\nwith two original lines"),
+        (4, f"{boiler}\n{boiler}\n\nonly-doc-4 text"),  # dup within one doc
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.line_dedup(df, min_df=2).collect()}
+    assert len(got) == 7
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # boiler (df=4 docs) and nav (df=2) dropped; empty lines never dropped
+    assert got[0]["n_lines"] == 3 and got[0]["n_dropped"] == 2
+    assert got[0]["clean_fp"] == fp("unique zero body text")
+    assert got[0]["chars_dropped"] == len(boiler) + len(nav)
+    assert got[1]["clean_fp"] == fp("another distinct body")
+    assert got[2]["n_dropped"] == 1
+    assert got[2]["clean_fp"] == fp("third doc content here")
+    # df counts distinct docs: doc 3's lines are unique -> nothing dropped
+    assert got[3]["n_dropped"] == 0
+    assert got[3]["clean_fp"] == fp(
+        "entirely original document\nwith two original lines"
+    )
+    # within-doc repetition alone doesn't make a line hot, but boiler is
+    # hot corpus-wide -> both copies dropped; the empty line survives
+    assert got[4]["n_lines"] == 4 and got[4]["n_dropped"] == 2
+    assert got[4]["clean_fp"] == fp("\nonly-doc-4 text")
+    # empty / NULL text: one empty line, kept, fp of ""
+    for d in (5, 6):
+        assert got[d]["n_lines"] == 1 and got[d]["n_dropped"] == 0
+        assert got[d]["clean_fp"] == fp("")
+
+
+def test_line_dedup_min_df_boundary(spark):
+    rows = [
+        (0, "shared line\nsolo a"),
+        (1, "shared line\nsolo b"),
+        (2, "solo c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    at2 = {r["doc_id"]: r for r in D.line_dedup(df, min_df=2).collect()}
+    at3 = {r["doc_id"]: r for r in D.line_dedup(df, min_df=3).collect()}
+    assert at2[0]["n_dropped"] == 1 and at2[1]["n_dropped"] == 1
+    assert all(r["n_dropped"] == 0 for r in at3.values())
