@@ -425,6 +425,44 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(reflowed, min_df=2)
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction (operators/textstats.py:pii_scrub). The
+    synthetic corpus carries no PII, so the row first injects
+    deterministic email/phone/IPv4 strings as a pure function of doc_id
+    (mirrored verbatim by the DuckDB twin), then counts and redacts."""
+    from iscc_specs_spark.operators.textstats import pii_scrub
+
+    did = F.col("doc_id")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" tel +4930123"), (did % 1000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.textstats import language_id
 
@@ -659,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
+        "pii_scrub": _q_pii_scrub,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "extracted_text": _q_extracted_text,
@@ -890,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": _o.repetition_stats_sql(),
         "line_dedup": _o.line_dedup_sql(min_df=2, width=8),
+        "pii_scrub": _o.pii_scrub_sql(),
         "language_id": f"""
             WITH h AS (SELECT doc_id, {lang_hits} FROM documents)
             SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,

@@ -47,6 +47,7 @@ HEADLINE = [
     "quality_scores",
     "repetition_stats",
     "line_dedup",
+    "pii_scrub",
     "language_id",
     "fingerprints",
     "multimodal_features",

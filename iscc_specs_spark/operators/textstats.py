@@ -181,89 +181,97 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Engine-defined deviation (mirrored exactly by the DuckDB oracle twin):
     overlapping occurrences are counted per-occurrence, not per distinct
     character position, so each fraction is the overlap-ignoring upper
-    bound of Gopher's, capped at 1.0. Ties for "most frequent n-gram" are
-    broken by (count, chars, gram) lexicographic max — the tie-break cannot
-    change the fraction (it only depends on count and chars).
+    bound of Gopher's, capped at 1.0. The "most frequent n-gram" pick is
+    (count, chars) max — a tie-break cannot change the fraction (it only
+    depends on count and chars).
 
-    Scale: all nine gram sizes ride ONE explode of one flattened array (a
-    single map stage — tokens are split once), then one shuffle keyed by
-    (doc_id, n, gram) — the doc_id in the key makes hot grams skew-free —
-    and one per-(doc_id, n) aggregation. No UDFs, no joins against anything
-    unbounded; cost is ~9 gram rows per token, bounded by scan bandwidth.
+    Scale: tokens are exploded ONCE and the nine gram sizes are built by a
+    per-document window ``lead`` + ``concat_ws`` — entirely inside
+    whole-stage codegen (a higher-order ``transform``/``slice`` formulation
+    was 10× slower: Catalyst interprets lambda bodies per array element).
+    The gram STRING never leaves the map side: rows are projected to
+    ``(doc_id, n, xxhash64(gram), length(gram))`` before the one
+    aggregation shuffle keyed by (doc_id, n, gram-hash) — the doc_id in
+    the key makes hot grams skew-free, and the fixed-width key keeps the
+    exchange ~28 B/gram instead of shipping 10-gram strings. The DuckDB
+    twin groups by the raw gram string — identical unless xxhash64
+    collides within one (doc, n) (≈2⁻⁶⁴; the same documented policy as the
+    LSH band oracles). The window's partition is one document (bounded);
+    top and dup fractions come out of ONE per-(doc_id, n) aggregation over
+    that single subtree — nothing is consumed twice. No UDFs, no joins
+    against anything unbounded; cost is ~9 gram rows per token, bounded by
+    scan bandwidth.
     """
-    text = F.coalesce(F.col("text"), F.lit(""))
-    toks = _tokens()
-    gram_t = "array<struct<n:int,gram:string>>"
-    def _gram_arr(n: int):
-        # NB: the lambda must take exactly ONE argument — F.transform treats
-        # a two-arg lambda as (element, index), so a `lambda i, n=n:` capture
-        # would silently rebind n to the array index.
-        return F.when(F.size(toks) < n, F.array().cast(gram_t)).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice(toks, i, n), " ").alias("gram"),
-                ),
-            )
-        )
+    from pyspark.sql import Window
 
-    gram_arrays = [
-        _gram_arr(n)
-        for n in sorted(GOPHER_TOP_THRESHOLDS) + sorted(GOPHER_DUP_THRESHOLDS)
-    ]
-    grams = docs.select(
+    text = F.coalesce(F.col("text"), F.lit(""))
+    all_ns = sorted(GOPHER_TOP_THRESHOLDS) + sorted(GOPHER_DUP_THRESHOLDS)
+    nmax = max(all_ns)
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text).alias("n_chars"),
-        F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
+        F.posexplode(_tokens()).alias("pos", "t0"),
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "n_chars",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, nmax)],
+    )
+
+    def _gram_struct(n: int):
+        # t{n-1} non-null implies t0..t{n-2} non-null (lead offsets grow
+        # toward the document tail), so concat_ws never skips a middle token
+        gram = F.concat_ws(" ", *[F.col(f"t{k}") for k in range(n)])
+        return F.when(
+            F.col(f"t{n - 1}").isNotNull(),
+            F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(gram).alias("gh"),
+                F.length(gram).alias("charlen"),
+            ),
+        )
+
+    grams = leads.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(*[_gram_struct(n) for n in all_ns])).alias("g"),
+    ).where(F.col("g").isNotNull())
     counts = (
-        grams.groupBy(
+        grams.select(
             "doc_id",
             "n_chars",
             F.col("g.n").alias("n"),
-            F.col("g.gram").alias("gram"),
+            F.col("g.gh").alias("gh"),
+            F.col("g.charlen").alias("charlen"),
         )
+        .groupBy("doc_id", "n_chars", "n", "gh", "charlen")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("charlen", F.length("gram"))
     )
-    tops = (
-        counts.where(F.col("n") <= max(GOPHER_TOP_THRESHOLDS))
-        .groupBy("doc_id", "n_chars", "n")
-        .agg(F.max(F.struct("cnt", "charlen", "gram")).alias("t"))
-        .select(
-            "doc_id",
-            "n",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.col("t.cnt") * F.col("t.charlen") / F.col("n_chars"),
-                ),
-                6,
-            ).alias("frac"),
-        )
+    per_n = counts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(F.struct("cnt", "charlen")).alias("t"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("charlen"))
+        ).alias("dupchars"),
     )
-    dups = (
-        counts.where(
-            (F.col("n") >= min(GOPHER_DUP_THRESHOLDS)) & (F.col("cnt") >= 2)
-        )
-        .groupBy("doc_id", "n_chars", "n")
-        .agg(F.sum(F.col("cnt") * F.col("charlen")).alias("dupchars"))
-        .select(
-            "doc_id",
-            "n",
-            F.round(
-                F.least(F.lit(1.0), F.col("dupchars") / F.col("n_chars")), 6
-            ).alias("frac"),
-        )
+    # NULL-safe 1.0 cap: F.least skips NULLs (least(1.0, NULL) = 1.0), so
+    # the no-duplicated-grams case must stay NULL through the cap.
+    raw = F.when(
+        F.col("n") <= max(GOPHER_TOP_THRESHOLDS),
+        F.col("t.cnt") * F.col("t.charlen") / F.col("n_chars"),
+    ).otherwise(F.col("dupchars") / F.col("n_chars"))
+    fracs = per_n.select(
+        "doc_id",
+        "n",
+        F.round(F.when(raw > 1.0, F.lit(1.0)).otherwise(raw), 6).alias("frac"),
     )
     names = [f"top{n}_frac" for n in sorted(GOPHER_TOP_THRESHOLDS)] + [
         f"dup{n}_frac" for n in sorted(GOPHER_DUP_THRESHOLDS)
     ]
     ns = sorted(GOPHER_TOP_THRESHOLDS) + sorted(GOPHER_DUP_THRESHOLDS)
     pivoted = (
-        tops.unionByName(dups)
-        .groupBy("doc_id")
+        fracs.groupBy("doc_id")
         .agg(
             *[
                 F.max(F.when(F.col("n") == n, F.col("frac"))).alias(name)
@@ -283,3 +291,41 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         cond = F.coalesce(F.col(name), F.lit(0.0)) <= F.lit(thresholds[name])
         ok = cond if ok is None else (ok & cond)
     return out.select("doc_id", *filled, ok.alias("repetition_ok"))
+
+
+# PII surface patterns chosen for identical semantics under Java regex
+# (Spark) and RE2 (DuckDB): no backreferences, no lookaround, ASCII \b.
+# Replacement order is list order; replacement tokens contain no digits or
+# '@' so later patterns can never match inside an earlier redaction.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+]
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII detection + redaction for training-data hygiene: per document,
+    match counts for email / international-format phone / IPv4 patterns
+    (counted on the original text) and ``clean_fp`` = md5 of the text with
+    every match replaced by its ``<TYPE>`` token, applied in PII_PATTERNS
+    order.
+
+    The pattern set is deliberately narrow-and-portable (see PII_PATTERNS)
+    rather than recall-maximal: the point of the operator is the distributed
+    shape — a zero-shuffle narrow projection, regexp entirely inside
+    whole-stage codegen, no UDFs — onto which production pattern packs drop
+    in. The DuckDB twin (oracles.py:pii_scrub_sql) runs the same patterns
+    under RE2.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, F.md5(red).alias("clean_fp")
+    )

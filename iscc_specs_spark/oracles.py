@@ -492,6 +492,43 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def pii_scrub_sql() -> str:
+    """Twin of operators/textstats.py:pii_scrub over the driver row's
+    deterministic PII injection: same single-source patterns (RE2 here,
+    Java regex on the Spark side — patterns restricted to the common
+    dialect), same replacement order, same md5 of the redacted text."""
+    from iscc_specs_spark.operators.textstats import PII_PATTERNS
+
+    count_cols = ",\n       ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH inj AS (
+    SELECT doc_id,
+           coalesce(text, '')
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' tel +4930123' || CAST(doc_id % 1000 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR)
+                   ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       {count_cols},
+       md5({red}) AS clean_fp
+FROM inj
+"""
+
+
 def repetition_stats_sql() -> str:
     """Twin of operators/textstats.py:repetition_stats (Gopher repetition
     rules): same single-source thresholds, same overlap-ignoring capped

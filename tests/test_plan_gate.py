@@ -128,7 +128,7 @@ def test_no_python_stages_outside_codegen_and_sources(plans):
     pure_sql = [
         "exact_dedup", "ngram_jaccard", "embedding_neardup",
         "embedding_neardup_lsh", "ann_topk", "ann_lsh_topk", "token_counts",
-        "quality_scores", "repetition_stats", "line_dedup",
+        "quality_scores", "repetition_stats", "line_dedup", "pii_scrub",
         "language_id", "fingerprints", "q1_pricing",
         "top_customers", "events_by_type", "user_last_event",
         "substring_matches", "extracted_text",

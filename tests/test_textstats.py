@@ -214,3 +214,38 @@ def test_repetition_stats(spark):
     assert not got[1]["repetition_ok"] and got[1]["dup5_frac"] > 0.5
     assert not got[2]["repetition_ok"] and got[2]["top2_frac"] > 0.20
     assert got[3]["repetition_ok"] and got[3]["dup10_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    import hashlib
+
+    rows = [
+        (0, "reach me at alice.smith+tag@mail.example.org for details"),
+        (1, "call +491234567890 or +12025550123 today"),
+        (2, "server at 192.168.1.250 and 10.0.0.1 responded"),
+        (3, "plain text with no pii at all"),
+        (4, "mixed: bob@x.co from 8.8.8.8 dial +33123456789"),
+        (5, None),
+        # not-PII lookalikes: short digit run after '+', version-ish dots
+        (6, "v1.2.3 release +123 grade"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 0
+    assert got[0]["clean_fp"] == fp("reach me at <EMAIL> for details")
+    assert got[1]["n_phone"] == 2 and got[1]["n_email"] == 0
+    assert got[1]["clean_fp"] == fp("call <PHONE> or <PHONE> today")
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["clean_fp"] == fp("server at <IPV4> and <IPV4> responded")
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+    assert got[3]["clean_fp"] == fp("plain text with no pii at all")
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ipv4"]) == (1, 1, 1)
+    assert got[4]["clean_fp"] == fp("mixed: <EMAIL> from <IPV4> dial <PHONE>")
+    assert got[5]["clean_fp"] == fp("")
+    # +123 is only 3 digits (< 7) and 1.2.3 has no 4th octet — no matches
+    assert got[6]["n_phone"] == 0 and got[6]["n_ipv4"] == 0
+    assert got[6]["clean_fp"] == fp("v1.2.3 release +123 grade")
