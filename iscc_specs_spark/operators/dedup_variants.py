@@ -67,21 +67,44 @@ def exact_dups(docs: DataFrame) -> DataFrame:
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id, shingle — distinct word n-grams (padded with the whole text
-    when shorter than n words so every doc has ≥1 shingle)."""
+    when shorter than n words so every doc has ≥1 shingle).
+
+    Codegen-resident build: posexplode_outer tokens → per-document window
+    ``lead`` → ``concat_ws`` (the former ``transform``+``slice`` higher-
+    order formulation evaluated its lambda interpreted per element — see
+    textstats.repetition_stats for the measured 10×). concat_ws skips
+    NULL leads, so the pos-0 row of a short document yields exactly the
+    padded whole-text shingle, and the outer-null row of an empty document
+    yields "". One shuffle keyed by doc_id; the per-doc distinct reuses
+    that partitioning (doc_id is a subset of the grouping key — no second
+    exchange).
+    """
+    from pyspark.sql import Window
+
     trimmed = F.trim(F.coalesce(F.col("text"), F.lit("")))
     toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, "\\s+")
     )
-    cnt = F.size(toks)
-    shingles = F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    tok_rows = docs.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos", "t0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = tok_rows.select(
+        "doc_id",
+        "pos",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)],
+    )
+    full = F.col(f"t{n - 1}").isNotNull() if n > 1 else F.col("t0").isNotNull()
+    return (
+        leads.where(full | (F.coalesce(F.col("pos"), F.lit(0)) == 0))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"t{k}") for k in range(n)]).alias(
+                "shingle"
+            ),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
     )
 
 
