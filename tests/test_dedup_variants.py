@@ -181,3 +181,27 @@ def test_line_dedup_min_df_boundary(spark):
     at3 = {r["doc_id"]: r for r in D.line_dedup(df, min_df=3).collect()}
     assert at2[0]["n_dropped"] == 1 and at2[1]["n_dropped"] == 1
     assert all(r["n_dropped"] == 0 for r in at3.values())
+
+
+def test_word_shingles_padding_and_distinct(spark):
+    rows = [
+        (0, "a b c d"),          # 2 full 3-grams
+        (1, "a b"),               # short: one padded whole-text shingle
+        (2, "solo"),              # single token
+        (3, ""),                  # empty -> one "" shingle
+        (4, None),                # NULL text behaves like empty
+        (5, "x y x y x y"),       # duplicate 3-grams collapse to distinct
+        (6, "  a   b  c  "),      # whitespace runs collapse in shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in D.word_shingles(df, n=3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert got[0] == {"a b c", "b c d"}
+    assert got[1] == {"a b"}
+    assert got[2] == {"solo"}
+    assert got[3] == {""} and got[4] == {""}
+    assert got[5] == {"x y x", "y x y"}
+    assert got[6] == {"a b c"}
+    # every doc has >= 1 shingle
+    assert set(got) == set(range(7))
