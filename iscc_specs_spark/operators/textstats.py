@@ -1,8 +1,9 @@
 """Text-analysis operators for a training-data pipeline.
 
 Everything here is native Spark SQL (JVM-side, whole-stage codegen — no
-Python UDFs): token counting, quality scoring, language-ID heuristic and
-document fingerprinting over a ``documents(doc_id, text, lang, ...)`` table.
+Python UDFs): token counting, quality scoring, Gopher repetition rules,
+PII detection/redaction, language-ID heuristic and document fingerprinting
+over a ``documents(doc_id, text, lang, ...)`` table.
 
 Each operator is deliberately expressible in ANSI-ish SQL so the driver's
 DuckDB oracle can verify it value-for-value (see __spark_entry__.oracle_sql).
@@ -10,9 +11,11 @@ Reference parity: the reference has no text-analytics surface beyond
 normalization (``/root/reference/src/iscc/iscc.py:177-211``); these operators
 extend the engine for web-scale corpus curation per the build brief.
 
-Scale notes: every operator is a narrow per-row projection — no shuffle, no
-UDF, fully pushdown-friendly (reads only ``doc_id, text``). At 100 TB this
-is a single map stage bounded by scan bandwidth.
+Scale notes: every operator except ``repetition_stats`` is a narrow per-row
+projection — no shuffle, no UDF, fully pushdown-friendly (reads only
+``doc_id, text``); at 100 TB a single map stage bounded by scan bandwidth.
+``repetition_stats`` adds one skew-free aggregation shuffle keyed by
+(doc_id, n, gram-hash) — see its docstring.
 """
 
 from __future__ import annotations
