@@ -482,9 +482,10 @@ flagged AS (
 )
 SELECT doc_id,
        count(*) AS n_lines,
-       sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
-       coalesce(sum(CASE WHEN dropped THEN length(line) END), 0) AS chars_dropped,
+       CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(CASE WHEN dropped THEN length(line) END), 0)
+            AS BIGINT) AS chars_dropped,
        md5(coalesce(
            string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos),
            '')) AS clean_fp
@@ -983,3 +984,96 @@ canon AS (
 )
 SELECT url, cluster_id, rn = 1 AS is_canonical FROM canon
 """
+
+
+# --- driver-hash type compatibility -----------------------------------------
+#
+# The driver materializes the DuckDB side with typed (pandas/Arrow) buffers
+# before hashing, so a DuckDB declared type that pandas renders differently
+# from Spark's collected value breaks the value hash even when fetchall()
+# values are identical.  Canonical case (round 5's only red row): integer
+# sum() returns HUGEINT, which .df() renders as float64 — '5.0' vs Spark's
+# '5'.  Both local parity harnesses (scripts/check_oracles.py,
+# tests/test_entry_oracles.py) assert declared-type compatibility with this
+# map so the class fails locally instead of at the driver.
+
+def _spark_kind(dtype: str) -> str | None:
+    dt = dtype.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt == "boolean":
+        return "bool"
+    if dt == "string":
+        return "string"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt == "date":
+        return "date"
+    if dt == "binary":
+        return "binary"
+    return None  # arrays/structs/maps/decimals: not hash-hazard classes here
+
+
+def _duckdb_kind(dtype: str) -> str | None:
+    dt = str(dtype).upper()
+    if dt in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if dt in ("HUGEINT", "UHUGEINT"):
+        # pandas materializes HUGEINT as float64 (or object) — never int64
+        return "hugeint"
+    if dt in ("FLOAT", "DOUBLE") or dt.startswith("DECIMAL"):
+        return "float"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt == "VARCHAR":
+        return "string"
+    if dt.startswith("TIMESTAMP"):
+        return "timestamp"
+    if dt == "DATE":
+        return "date"
+    if dt == "BLOB":
+        return "binary"
+    return None
+
+
+# (spark_kind, duckdb_kind) pairs whose typed materializations hash equal.
+# float↔hugeint is allowed: HUGEINT→float64 matches a Spark double.
+_HASH_COMPATIBLE = {
+    ("int", "int"),
+    ("float", "float"),
+    ("float", "hugeint"),
+    ("bool", "bool"),
+    ("string", "string"),
+    ("timestamp", "timestamp"),
+    ("date", "date"),
+    ("binary", "binary"),
+}
+
+
+def oracle_type_mismatches(spark_dtypes, duck_cols, duck_types):
+    """Columns whose Spark vs DuckDB declared types would hash-diverge under
+    the driver's typed materialization.
+
+    ``spark_dtypes``: ``DataFrame.dtypes`` pairs; ``duck_cols``/``duck_types``:
+    a DuckDB relation's ``columns``/``types``.  Returns a list of
+    ``(column, spark_type, duckdb_type)`` triples; empty means compatible.
+    Columns whose kind is unmapped on either side are skipped (not hazards
+    this harness knows how to adjudicate).
+    """
+    smap = {name: dt for name, dt in spark_dtypes}
+    out = []
+    for col, dtyp in zip(duck_cols, duck_types):
+        if col not in smap:
+            continue  # column-name diffs are reported separately
+        sk = _spark_kind(smap[col])
+        dk = _duckdb_kind(dtyp)
+        if sk is None or dk is None:
+            continue
+        if (sk, dk) not in _HASH_COMPATIBLE:
+            out.append((col, smap[col], str(dtyp)))
+    return out

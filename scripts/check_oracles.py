@@ -19,6 +19,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from iscc_specs_spark.oracles import oracle_type_mismatches  # noqa: E402
 from iscc_specs_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -72,6 +73,12 @@ def main():
         status = []
         if sc != oc:
             status.append(f"COLS spark={sc} oracle={oc}")
+        # declared-type compatibility: the driver hashes typed (pandas)
+        # materializations, so e.g. DuckDB HUGEINT (integer sum()) vs Spark
+        # BIGINT diverges ('5.0' vs '5') even when fetchall() values match
+        bad_types = oracle_type_mismatches(sdf.dtypes, ocols, orel.types)
+        if bad_types:
+            status.append(f"TYPES {bad_types}")
         if len(sv) != len(ov):
             status.append(f"COUNT spark={len(sv)} oracle={len(ov)}")
         elif sc == oc and sv != ov:

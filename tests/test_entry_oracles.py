@@ -43,13 +43,41 @@ def _canon(rows, cols):
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
 def test_oracle_parity(spark, ddb, name):
+    from iscc_specs_spark.oracles import oracle_type_mismatches
+
     sdf = entrymod.queries()[name](spark, SF_DIR)
     sc, sv = _canon([tuple(r) for r in sdf.collect()], sdf.columns)
     orel = ddb.sql(entrymod.oracle_sql()[name])
     oc, ov = _canon(orel.fetchall(), list(orel.columns))
     assert sc == oc
+    # declared-type compatibility: the driver hashes typed materializations,
+    # so DuckDB HUGEINT (bare integer sum()) vs Spark BIGINT diverges even
+    # when fetchall() values match — round 5's only red row
+    assert oracle_type_mismatches(sdf.dtypes, list(orel.columns), orel.types) == []
     assert len(sv) == len(ov)
     assert sv == ov
+
+
+def test_uncast_aggregate_probe(ddb):
+    """A deliberately-uncast integer sum() must trip the type harness —
+    guards the harness itself (VERDICT r5 item 2)."""
+    from iscc_specs_spark.oracles import oracle_type_mismatches
+
+    rel = ddb.sql("SELECT doc_id, sum(length(text)) AS n FROM documents GROUP BY doc_id")
+    bad = oracle_type_mismatches(
+        [("doc_id", "bigint"), ("n", "bigint")], list(rel.columns), rel.types
+    )
+    assert bad == [("n", "bigint", "HUGEINT")]
+    fixed = ddb.sql(
+        "SELECT doc_id, CAST(sum(length(text)) AS BIGINT) AS n "
+        "FROM documents GROUP BY doc_id"
+    )
+    assert (
+        oracle_type_mismatches(
+            [("doc_id", "bigint"), ("n", "bigint")], list(fixed.columns), fixed.types
+        )
+        == []
+    )
 
 
 def test_entry_smoke(spark):
