@@ -304,6 +304,60 @@ def _record_index_buckets(state_dir: str, n: int) -> None:
             json.dump({"index_buckets": n}, f)
 
 
+def _migrate_legacy_band_index(
+    spark: SparkSession, state_dir: str, index_buckets: int
+) -> None:
+    """One-time in-place upgrade of a pre-``band_pfx`` band index.
+
+    A legacy index is partitioned by ``ingest_batch`` only; merely *reading*
+    it unpruned would be correct, but the batch's own band rows are written
+    ``(ingest_batch, band_pfx)``-partitioned into the same directory, and
+    Spark's parquet reader refuses mixed partition depths ('Conflicting
+    directory structures') — so the stream would survive exactly one batch.
+    On first contact the legacy table is therefore rewritten once with
+    ``band_pfx`` computed under each row's OWN ``ingest_batch`` partition
+    (replay semantics keep holding), staged through a sibling directory and
+    swapped in with renames. Crash windows are replay-safe: an interrupted
+    swap leaves either the untouched legacy table (migration simply reruns)
+    or a complete staged table (the swap is finished below); if ``bands/``
+    is missing entirely, ``process_dedup_batch``'s codes-backfill path
+    rebuilds the index from scratch. Local-FS renames are the sandbox seam
+    — on Iceberg this whole function is partition-spec evolution, no
+    rewrite."""
+    import json
+    import os
+    import shutil
+
+    bands = os.path.join(state_dir, "bands")
+    staging = os.path.join(state_dir, "bands__migrating")
+    if not os.path.isdir(bands):
+        if os.path.isdir(staging):
+            os.rename(staging, bands)  # finish an interrupted swap
+        return
+    hb = _read_history(spark, bands)
+    if hb is None or "band_pfx" in hb.columns:
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)  # stale leftover from a completed swap
+        return
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # incomplete prior attempt: rebuild
+    migrated = hb.withColumn("band_pfx", band_pfx(index_buckets))
+    (
+        migrated.write.mode("overwrite")
+        .partitionBy("ingest_batch", "band_pfx")
+        .parquet(staging)
+    )
+    # the modulus the migrated layout was built with must travel with it
+    with open(os.path.join(staging, "_INDEX_META.json"), "w") as f:
+        json.dump({"index_buckets": index_buckets}, f)
+    legacy = os.path.join(state_dir, "bands__legacy")
+    if os.path.isdir(legacy):
+        shutil.rmtree(legacy)
+    os.rename(bands, legacy)
+    os.rename(staging, bands)
+    shutil.rmtree(legacy)
+
+
 def read_band_index(
     spark: SparkSession,
     state_dir: str,
@@ -366,13 +420,16 @@ def process_dedup_batch(
     the index's ``_INDEX_META.json`` on first write and ALWAYS wins over
     the ``index_buckets`` parameter afterwards (a mismatched modulus would
     silently prune away true matches); a legacy index without the
-    ``band_pfx`` column is read unpruned (correct, just unbounded I/O).
+    ``band_pfx`` column is migrated in place on first contact (see
+    :func:`_migrate_legacy_band_index` — mixed partition depths would fail
+    the next batch's read, so read-unpruned is not a stable posture).
     """
     from iscc_specs_spark.operators import lsh
 
     spark = batch_df.sparkSession
     index_buckets = _effective_index_buckets(state_dir, index_buckets)
     _record_index_buckets(state_dir, index_buckets)
+    _migrate_legacy_band_index(spark, state_dir, index_buckets)
     batch = batch_df.localCheckpoint(eager=True)
 
     # within-batch pairs (standard path; url_a < url_b → flag url_b)

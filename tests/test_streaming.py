@@ -536,3 +536,61 @@ def test_index_bucket_modulus_survives_restart(spark, tmp_path):
     )
     with open(state + "/bands/_INDEX_META.json") as f:
         assert json.load(f) == {"index_buckets": 64}  # unchanged
+
+
+def test_legacy_band_index_migrates_on_first_contact(spark, tmp_path):
+    """A pre-band_pfx band index (partitioned by ingest_batch only) must be
+    rewritten to the (ingest_batch, band_pfx) layout the first time a batch
+    touches it — otherwise the batch's own (ingest_batch, band_pfx) write
+    creates mixed partition depths and the NEXT batch's index read fails
+    with 'Conflicting directory structures' (the stream survives exactly
+    one batch). Pins the round-5 advice finding."""
+    import shutil
+
+    from iscc_specs_spark.streaming.ingest import process_dedup_batch
+
+    state = str(tmp_path / "state_legacy")
+    pages = generate_pages(spark, 60, partitions=2)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    b0 = codes.where("url like '%/p/0'")
+    b1 = codes.where("url like '%/p/1'")
+    b2 = codes.where("url not like '%/p/0' and url not like '%/p/1'")
+
+    process_dedup_batch(b0, 0, state)
+
+    # downgrade bands/ to the legacy layout: drop band_pfx, repartition by
+    # ingest_batch only, no _INDEX_META.json (predates both features)
+    legacy_rows = (
+        spark.read.parquet(state + "/bands").drop("band_pfx")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(state + "/bands")
+    (
+        legacy_rows.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(state + "/bands")
+    )
+    assert not any(
+        d.startswith("band_pfx=")
+        for d in os.listdir(state + "/bands/ingest_batch=0")
+    )
+
+    # first contact migrates; the batch after that is the one that used to
+    # die on the mixed directory structure
+    process_dedup_batch(b1, 1, state)
+    process_dedup_batch(b2, 2, state)
+
+    bands = spark.read.parquet(state + "/bands")
+    assert "band_pfx" in bands.columns
+    for b in (0, 1, 2):
+        assert any(
+            d.startswith("band_pfx=")
+            for d in os.listdir(f"{state}/bands/ingest_batch={b}")
+        ), f"ingest_batch={b} not in the (ingest_batch, band_pfx) layout"
+    assert not os.path.exists(state + "/bands__migrating")
+    assert not os.path.exists(state + "/bands__legacy")
+
+    # the migrated index still finds cross-batch near-dups (generate_pages
+    # plants near-dup variants across the url space)
+    flags = spark.read.parquet(state + "/dup_flags")
+    assert flags.where("src = 'vs_history'").count() > 0
