@@ -324,10 +324,13 @@ def _q_embedding_neardup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production path: RHP-LSH candidates gated into the
     blocked-GEMM verifier (candidate tiles only). Emits the pair KEYS —
     the pair set is provably identical to embedding_neardup_lsh (same
-    candidate generator, same round-6 threshold), so the DuckDB twin is
+    candidate generator, same round-6 threshold, and GEMM survivors inside
+    the ±2e-6 threshold band are re-scored with the deterministic
+    sequential fold before the cut, so a BLAS-vs-fold one-ulp wobble can
+    never flip a boundary pair on a new seed/scale), so the DuckDB twin is
     that row's SQL projected to keys; the cosine column is left off the
-    driver row because BLAS summation order can shift it one round-6 ulp
-    (the float-order caveat the GEMM docstring documents)."""
+    driver row because interior pairs still report the BLAS cosine, which
+    can sit one round-6 ulp from the fold value."""
     from iscc_specs_spark.operators.dedup_variants import embedding_neardup_gated
 
     return embedding_neardup_gated(

@@ -491,6 +491,7 @@ def embedding_neardup_gated(
     bucket_cap: int = 1000,
     block: int = 4096,
     materialize: bool = True,
+    boundary_eps: float = 2e-6,
 ) -> DataFrame:
     """The production embedding near-dup path: RHP-LSH candidate generation
     gated into the blocked-GEMM exact verifier — the composition the two
@@ -501,15 +502,23 @@ def embedding_neardup_gated(
     instead of the full-table (n/block)² sweep, and the per-pair cost is
     BLAS (~0.05 µs) instead of the interpreted SQL fold (~50 µs).
 
-    Pair-set semantics match embedding_neardup_lsh (same candidates, same
-    round-6 cosine-≥-threshold cut); cosines carry the GEMM float-order
-    caveat (see embedding_neardup_pairs_gemm), which round-6 absorbs except
-    exactly at a rounding boundary — tests/test_dedup_variants.py pins
-    pair-set equality on the benchmark tables.
+    The pair SET is provably identical to embedding_neardup_lsh, not just
+    empirically so: BLAS reorders the dot-product summation, so a GEMM
+    cosine can land one round-6 step away from the sequential-fold value —
+    a pair sitting exactly on the threshold boundary could flip. The GEMM
+    cut therefore runs at ``threshold - boundary_eps``, and survivors whose
+    GEMM cosine falls inside the ±``boundary_eps`` band are re-scored with
+    the deterministic sequential fold (the exact expression the SQL
+    sibling and its DuckDB twin use) before the true cut. The band is
+    empty or tiny in practice — post-round-6 cosines are 1e-6-grid values,
+    so ±2e-6 spans two grid steps around the threshold — making the
+    re-verify a bounded join, while interior pairs keep the O(0.05 µs)
+    BLAS cosine. Cosine VALUES still carry the one-ulp GEMM caveat for
+    interior pairs; boundary pairs return the fold value.
     """
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
     cand = rhp_candidate_pairs(
         e, nbits=nbits, ntables=ntables, seed=seed, dim=dim,
         bucket_cap=bucket_cap, materialize=materialize,
@@ -517,9 +526,41 @@ def embedding_neardup_gated(
     if materialize:
         # two consumers (tile-pair keys + the post-score semi-join)
         cand = cand.localCheckpoint(eager=True)
-    return embedding_neardup_pairs_gemm(
-        emb, threshold=threshold, block=block, candidates=cand
+    scored = embedding_neardup_pairs_gemm(
+        emb, threshold=threshold - boundary_eps, block=block, candidates=cand
     )
+    if materialize:
+        # two consumers (interior keep + boundary re-verify) — a lazy
+        # mapInPandas subtree would otherwise run the GEMM twice
+        scored = scored.localCheckpoint(eager=True)
+    interior = scored.where(F.col("cosine") >= threshold + boundary_eps)
+    reverified = (
+        scored.where(F.col("cosine") < threshold + boundary_eps)
+        .select("vec_a", "vec_b")
+        .join(
+            e.select(
+                F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return interior.unionByName(reverified)
 
 
 def line_dedup(

@@ -127,6 +127,52 @@ def test_embedding_neardup_gated_matches_lsh_sql(spark):
         assert abs(sql_pairs[k] - gated_pairs[k]) <= 1e-6, k
 
 
+def test_embedding_neardup_gated_boundary_reverify(spark):
+    """A pair whose round-6 cosine sits EXACTLY on the threshold must come
+    out of the gated path identically to the SQL-fold sibling: the GEMM cut
+    runs eps-loose and the ±eps band is re-scored with the deterministic
+    fold, so a BLAS-vs-fold last-ulp wobble can never flip a boundary pair
+    (round-5 advice). Pinned by setting the threshold to an actual pair's
+    cosine, which forces that pair through the re-verify branch, and by
+    checking a threshold one 1e-6 grid step above it excludes the pair from
+    both paths."""
+    from iscc_specs_spark.operators.dedup_variants import (
+        embedding_neardup_gated,
+        embedding_neardup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(dim=64, bucket_cap=100)
+    base = embedding_neardup_lsh(emb, threshold=0.4, **kw).collect()
+    assert base, "fixture must produce pairs"
+    # the smallest surviving cosine becomes the threshold: that pair now
+    # sits exactly on the boundary (cosines are round-6 grid values)
+    edge = min(r["cosine"] for r in base)
+    for thr in (edge, edge + 1e-6):
+        sql_pairs = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_lsh(emb, threshold=thr, **kw).collect()
+        }
+        gated_pairs = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_gated(
+                emb, threshold=thr, block=64, **kw
+            ).collect()
+        }
+        assert sql_pairs == gated_pairs, thr
+    # the exact-edge threshold keeps strictly more pairs than one step up
+    # (proves the boundary pair actually rode the re-verify branch)
+    n_edge = len(
+        embedding_neardup_gated(emb, threshold=edge, block=64, **kw).collect()
+    )
+    n_up = len(
+        embedding_neardup_gated(
+            emb, threshold=edge + 1e-6, block=64, **kw
+        ).collect()
+    )
+    assert n_edge > n_up
+
+
 def test_line_dedup(spark):
     import hashlib
 
