@@ -82,6 +82,30 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def encode_wav_pcm8(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames,) or (n_frames, channels) uint8 → canonical RIFF bytes
+    (unsigned 8-bit PCM, the historical WAV convention decode_wav widens
+    to int16 as ((x − 128) << 8)) — a pure function of the inputs."""
+    mat = np.asarray(samples, dtype=np.uint8)
+    if mat.ndim == 1:
+        mat = mat[:, None]
+    if mat.ndim != 2:
+        raise ValueError("encode_wav_pcm8 expects (n,) or (n, channels)")
+    n, channels = mat.shape
+    body = mat.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """(n_frames,) or (n_frames, channels) int16 → canonical RIFF bytes
     (fmt + data, no extra chunks) — a pure function of the inputs."""

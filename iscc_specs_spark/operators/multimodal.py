@@ -466,8 +466,9 @@ def synthetic_assets(
     kernel/jpegcodec.py:encode_jpeg_gray) — so every decoder runs through
     the distributed mapInPandas path, not just its unit tests. Audio and
     video assets likewise carry REAL uncompressed payloads (WAV PCM with
-    varying rate/channel-count; animated GIF with varying frame count and
-    delay), except every 5th of each, which stays an opaque byte blob —
+    varying rate, 1-3 channels and 8/16-bit depth; animated GIF with
+    varying frame count and delay), except every 5th of each, which stays
+    an opaque byte blob —
     standing in for the compressed codecs this environment cannot decode,
     so the 'unsupported' failure class is always exercised and its rate is
     pinned by the driver oracle.
@@ -482,7 +483,7 @@ def synthetic_assets(
         encode_png_gray,
     )
     from iscc_specs_spark.kernel.jpegcodec import encode_jpeg_gray
-    from iscc_specs_spark.kernel.wavcodec import encode_wav_pcm16
+    from iscc_specs_spark.kernel.wavcodec import encode_wav_pcm8, encode_wav_pcm16
 
     encoders = {
         "png": encode_png_gray,
@@ -507,9 +508,14 @@ def synthetic_assets(
         )
 
     def _audio_payload(i: int) -> tuple[bytes, int]:
-        # integer sawtooth mixture — a pure function of the asset id
+        # integer sawtooth mixture — a pure function of the asset id.
+        # Rate, channel count (1-3) AND sample depth (8/16-bit) all rotate
+        # with the ordinal so every decode_wav branch runs through the
+        # distributed mapInPandas path, not just its unit tests.
         rate = (4000, 8000)[i % 2]
-        channels = 1 + (i // 2) % 2
+        # key the shape rotation off the per-kind ordinal i//3 (asset ids of
+        # one kind are ≡ const mod 3, so i-keyed cycles would alias)
+        channels = 1 + (i // 3) % 3
         n = rate * (500 + 250 * (i % 3)) // 1000  # 0.5-1.0 s
         t = np.arange(n, dtype=np.int64)
         p1, p2 = 29 + (i % 13), 61 + (i % 17)
@@ -518,6 +524,10 @@ def synthetic_assets(
             [sig if c % 2 == 0 else np.roll(sig, c * 7) for c in range(channels)],
             axis=1,
         )
+        if (i // 6) % 2 == 1:  # 8-bit unsigned PCM flavor
+            return encode_wav_pcm8(
+                ((mat.astype(np.int32) >> 8) + 128).astype(np.uint8), rate
+            ), n * 1000 // rate
         return encode_wav_pcm16(mat, rate), n * 1000 // rate
 
     def _video_payload(i: int) -> tuple[bytes, int]:

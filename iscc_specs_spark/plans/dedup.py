@@ -51,6 +51,22 @@ def lsh_metrics(band_table: DataFrame, bucket_cap: int) -> dict:
     return {k: int(row[k] or 0) for k in row.asDict()}
 
 
+def probe_band_stage(
+    spark: SparkSession, store: StageStore, pfx: list[int] | None = None
+) -> DataFrame:
+    """Read a run's at-rest banded stage table, statically pruned to the
+    given ``band_pfx`` buckets — the batch mirror of the streaming index
+    probe (streaming/ingest.read_band_index). An incremental re-check of a
+    key set against a finished snapshot computes the keys' prefixes with
+    :func:`lsh.band_pfx` and passes them here; Spark pushes the IN-list
+    into PartitionFilters, so probe I/O is bounded by prefix coverage, not
+    snapshot size (plan-gated in tests/test_pipeline.py)."""
+    df = store.read(spark, "bands")
+    if pfx is not None:
+        df = df.where(F.col("band_pfx").isin([int(p) for p in pfx]))
+    return df
+
+
 def canonical_pick(codes: DataFrame, clusters: DataFrame) -> DataFrame:
     """(url, cluster_id, is_canonical): keep the oldest (warc_ts, url) per
     cluster.

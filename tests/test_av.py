@@ -23,6 +23,7 @@ from iscc_specs_spark.kernel.imagecodec import (
 )
 from iscc_specs_spark.kernel.wavcodec import (
     decode_wav,
+    encode_wav_pcm8,
     encode_wav_pcm16,
 )
 
@@ -73,6 +74,16 @@ def test_wav_8bit_widens_to_int16():
     assert rate == 8000
     assert out.dtype == np.int16
     assert out[:, 0].tolist() == [-32768, 0, 32512, -16384]
+
+
+def test_wav_roundtrip_8bit_encoder():
+    # encode_wav_pcm8 writes unsigned bytes; decode widens (x-128)<<8,
+    # so the round-trip is exact up to that documented widening
+    raw = np.array([[0, 10], [128, 200], [255, 90]], dtype=np.uint8)
+    rate, out = decode_wav(encode_wav_pcm8(raw, 4000))
+    assert rate == 4000
+    assert out.shape == (3, 2)
+    assert np.array_equal(out, (raw.astype(np.int16) - 128) << 8)
 
 
 def test_wav_truncated_data_decodes_complete_frames():
@@ -303,6 +314,7 @@ def test_av_codes_distributed_matches_local(spark):
     local = {r["asset_id"]: r for r in assets.collect()}
     assert len(rows) == 40  # 20 audio + 20 video of 60
     n_ok = 0
+    seen_shapes = set()  # (bits_inferred_by_channels, channels) coverage
     for aid, r in rows.items():
         payload = bytes(local[aid]["payload"])
         kind = local[aid]["kind"]
@@ -315,6 +327,9 @@ def test_av_codes_distributed_matches_local(spark):
         if kind == "audio":
             rate, samples = decode_wav(payload)
             n, ch = samples.shape
+            # canonical encode layout: fmt chunk starts at byte 20, bits
+            # field at offset 14 within it
+            seen_shapes.add((payload[34], ch))
             mono = (
                 samples.astype(np.int64).sum(axis=1) // ch
                 if ch > 1
@@ -330,6 +345,11 @@ def test_av_codes_distributed_matches_local(spark):
         assert r["fp_body"] == int.from_bytes(want, "big", signed=True)
         assert r["av_code"] is not None and len(r["av_code"]) == 13
     assert n_ok == 32  # 4 of every 5 per kind decode
+    # the payload rotation must exercise BOTH PCM depths and all 1-3
+    # channel counts through the distributed path (round-5 advice: the
+    # 8-bit/multi-channel decode branches were unit-test-only)
+    assert {b for b, _ in seen_shapes} == {8, 16}, seen_shapes
+    assert {c for _, c in seen_shapes} == {1, 2, 3}, seen_shapes
 
 
 def test_av_codes_failure_classes(spark):

@@ -9,7 +9,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from iscc_specs_spark.plans.dedup import DedupConfig, run_dedup
+from iscc_specs_spark.plans.dedup import DedupConfig, probe_band_stage, run_dedup
 from iscc_specs_spark.sources.pages import generate_pages
 
 N_DOCS = 2500
@@ -200,15 +200,6 @@ def test_band_stage_is_bucketed_at_rest(spark, tmp_path):
     assert man["partition_by"] == ["band_pfx"]
     pfx_dirs = [d for d in os.listdir(out + "/bands") if d.startswith("band_pfx=")]
     assert len(pfx_dirs) > 1
-    # a key-set probe of the at-rest stage prunes to matching partitions
-    probe = (
-        r1["store"].read(spark, "bands")
-        .where(F.col("band_pfx").isin([1, 2, 3]))
-        .select("band_id", "band_hash")
-    )
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    pf = next((ln for ln in plan.splitlines() if "PartitionFilters" in ln), "")
-    assert "band_pfx" in pf, plan
     # resume (kill after stage ②): bands not rewritten, clusters identical
     c1 = sorted(map(tuple, r1["clusters"].collect()))
     bands_manifest_1 = r1["store"].manifest("bands")
@@ -217,3 +208,18 @@ def test_band_stage_is_bucketed_at_rest(spark, tmp_path):
     r2 = run_dedup(spark, pages, out, DedupConfig())
     assert sorted(map(tuple, r2["clusters"].collect())) == c1
     assert r2["store"].manifest("bands") == bands_manifest_1
+    # a key-set probe of the RESUMED snapshot must be a pure pruned parquet
+    # scan: both mirror assertions from the streaming gate
+    # (test_streaming.test_band_index_probe_plan_is_pruned_scan) — the
+    # prefixes land in PartitionFilters (static pruning, probe I/O bounded
+    # by prefix coverage) and no Python/banding subtree re-derives history
+    probe = probe_band_stage(spark, r2["store"], pfx=[1, 2, 3]).select(
+        "band_id", "band_hash", "band_pfx"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = next((ln for ln in plan.splitlines() if "PartitionFilters" in ln), "")
+    assert "band_pfx" in pf, plan
+    for banned in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert banned not in plan, plan
+    got_pfx = {r["band_pfx"] for r in probe.collect()}
+    assert got_pfx and got_pfx <= {1, 2, 3}
