@@ -40,9 +40,11 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "embedding_neardup_gated",
     "semantic_dedup",
+    "semantic_dedup_probe",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_probe",
     "token_counts",
     "quality_scores",
     "repetition_stats",
@@ -161,6 +163,43 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         )
 
     qs["av_codes_4k"] = _av_codes_4k
+
+    # probe-only IVF/SemDeDup rows: the production posture builds the
+    # coarse quantizer ONCE on a sample and broadcasts/stages it (ann.py
+    # ivf_build docstring) — the plain `ann_ivf_topk` / `semantic_dedup`
+    # rows time model build + query together, so the recurring query cost
+    # was never visible. Build the model here (untimed, like any other
+    # at-rest input) and time only the consumer.
+    from iscc_specs_spark.operators.ann import ivf_build
+
+    _ivf_cents, _ivf_assign = ivf_build(
+        entrymod._emb(spark, sf_dir), k_lists=8, iters=2,
+        dim=entrymod._EMB_DIM,
+    )
+    _ivf_assign = _ivf_assign.localCheckpoint(eager=True)
+    _ivf_model = (_ivf_cents, _ivf_assign)
+
+    def _ann_ivf_probe(s, sf_dir_):
+        from iscc_specs_spark.operators.ann import ivf_topk
+
+        emb = entrymod._emb(s, sf_dir_)
+        return ivf_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
+            dim=entrymod._EMB_DIM, model=_ivf_model,
+        )
+
+    qs["ann_ivf_probe"] = _ann_ivf_probe
+
+    def _semantic_dedup_probe(s, sf_dir_):
+        from iscc_specs_spark.operators.semantic import semantic_dedup
+
+        return semantic_dedup(
+            entrymod._emb(s, sf_dir_), threshold=0.4,
+            dim=entrymod._EMB_DIM, model=_ivf_model,
+        )
+
+    qs["semantic_dedup_probe"] = _semantic_dedup_probe
+
     # warmup: JVM JIT + Arrow + Python-UDF worker pool (one tiny pandas-UDF
     # pass per executor thread spins up workers and builds the normalize
     # tables, so the first timed UDF query isn't charged for cold start)
