@@ -507,25 +507,34 @@ def _curated(spark: SparkSession, sf_dir: str) -> str:
     own codes table (dedup/codes) for the DuckDB twins."""
     import shutil
 
-    from iscc_specs_spark.plans.curate import run_curation
+    from iscc_specs_spark.plans.curate import CurateConfig, run_curation
     from iscc_specs_spark.sources.pages import pages_from_documents
 
     out = os.path.join(_stage_dir(sf_dir), "curation")
     key = (sf_dir, "curation")
     if key not in _staged:
         shutil.rmtree(out, ignore_errors=True)
-        run_curation(spark, pages_from_documents(spark, sf_dir), out)
+        # the semantic stage runs with the md5 bucket hash so the DuckDB
+        # twin can recompute the hashed-BoW vectors from raw text
+        # (production default is xxh64 — same md5-for-oracle pattern as
+        # fingerprints/substring_matches)
+        run_curation(
+            spark,
+            pages_from_documents(spark, sf_dir),
+            out,
+            CurateConfig(semantic=True, semantic_hash="md5"),
+        )
         _staged.add(key)
     return out
 
 
 def _q_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final curated corpus — the end-to-end composition (quality gate ∘
-    dedup ∘ canonical pick ∘ token accounting) as one checkable row set;
-    the DuckDB twin recomputes every stage from `documents` + the staged
-    curation codes."""
+    dedup ∘ canonical pick ∘ token accounting ∘ SemDeDup) as one checkable
+    row set; the DuckDB twin recomputes every stage from `documents` + the
+    staged curation codes + the staged semantic quantizer model."""
     out = _curated(spark, sf_dir)
-    corpus = spark.read.parquet(f"{out}/corpus")
+    corpus = spark.read.parquet(f"{out}/corpus_sem")
     return corpus.select(
         "url", "cluster_id",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -537,8 +546,9 @@ def _q_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audited funnel (docs in / dropped-by-quality / dropped-as-dup /
-    docs out / tokens out) recorded by the curation run, as a driver row —
-    the DuckDB twin re-derives all five numbers independently."""
+    dropped-as-semantic-dup / docs out / tokens out) recorded by the
+    curation run, as a driver row — the DuckDB twin re-derives all six
+    numbers independently."""
     import json
 
     out = _curated(spark, sf_dir)
@@ -548,7 +558,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k, int(m[k]))
         for k in (
             "docs_in", "docs_dropped_quality", "docs_dropped_duplicate",
-            "docs_out", "tokens_out",
+            "docs_dropped_semantic", "docs_out", "tokens_out",
         )
     ]
     return spark.createDataFrame(rows, "metric string, value long")
@@ -755,6 +765,18 @@ _COS = (
 )
 
 
+def _CURATION_SEM(stage: str) -> dict:
+    """Staged-model paths + params of the curation run's SemDeDup stage
+    (must mirror _curated's CurateConfig: md5 hash, dim 64, threshold 0.9,
+    StageStore layout under <stage>/curation)."""
+    return {
+        "cent_path": f"{stage}/curation/sem_centroids/*.parquet",
+        "asg_path": f"{stage}/curation/sem_assign/*.parquet",
+        "dim": 64,
+        "threshold": 0.9,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from iscc_specs_spark import oracles as _o
 
@@ -836,10 +858,12 @@ def oracle_sql() -> dict[str, str]:
             f"{stage}/stream_state/dup_flags/*/*.parquet",
         ),
         "curation_corpus": _o.curation_corpus_sql(
-            f"{stage}/curation/dedup/codes/*.parquet"
+            f"{stage}/curation/dedup/codes/*.parquet",
+            semantic=_CURATION_SEM(stage),
         ),
         "curation_funnel": _o.curation_funnel_sql(
-            f"{stage}/curation/dedup/codes/*.parquet"
+            f"{stage}/curation/dedup/codes/*.parquet",
+            semantic=_CURATION_SEM(stage),
         ),
     }
     lang_hits = ", ".join(

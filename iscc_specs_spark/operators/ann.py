@@ -200,6 +200,7 @@ def ivf_build(
     k_lists: int = 16,
     iters: int = 3,
     dim: int | None = None,
+    id_type: str = "long",
 ) -> tuple[list[list[float]], DataFrame]:
     """Deterministic spherical k-means coarse quantizer → (centroids,
     assignments(vec_id, list_id)).
@@ -255,7 +256,10 @@ def ivf_build(
                     {"vec_id": pdf["vec_id"], "list_id": lists.astype("int64")}
                 )
 
-        return corpus.mapInPandas(run, schema="vec_id long, list_id long")
+        # id_type parameterizes the passthrough key so url-keyed corpora
+        # (e.g. the curation plan's hashed-text vectors) avoid a lossy
+        # string→int mapping; vec_id is only ever a join key here
+        return corpus.mapInPandas(run, schema=f"vec_id {id_type}, list_id long")
 
     for _ in range(iters):
         assign = assign_pass(cent)

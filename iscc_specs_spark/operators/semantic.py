@@ -48,6 +48,67 @@ from iscc_specs_spark.operators.cluster import connected_components
 from iscc_specs_spark.operators.dedup_variants import dot_expr
 
 
+def featurize_text(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "url",
+    text_col: str = "text",
+    hash_fn: str = "xxh64",
+) -> DataFrame:
+    """Hashing-trick bag-of-tokens embedding over a text column →
+    ``(id_col, embedding array<double>)``, one row per input doc.
+
+    The classic feature-hashing featurizer (Weinberger et al. 2009):
+    lowercase whitespace tokens, each token hashed into one of ``dim``
+    buckets, embedding = bucket-count vector. Native SQL end to end — one
+    explode + one groupBy(id) with ``dim`` map-side-combining conditional
+    sums (whole-stage codegen; the shuffle carries dim longs per doc, the
+    token column never shuffles). Token-less docs get the zero vector via
+    the id-side left join (downstream cosine treats them as
+    similar-to-nothing).
+
+    ``hash_fn='xxh64'`` is the production bucket hash (JVM-native).
+    ``'md5'`` buckets by the first 8 hex chars of md5 — byte-identical in
+    DuckDB (``('0x'||substr(md5(tok),1,8))::UBIGINT % dim``), so a driver
+    row using it is cross-engine value-checkable end to end; counts are
+    small integers, so every downstream dot product is exact in float64
+    regardless of summation order (same md5-for-oracle / xxh64-production
+    pattern as fingerprints and substring_matches)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    if hash_fn == "md5":
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+            F.lit(dim),
+        )
+    elif hash_fn == "xxh64":
+        bucket = F.pmod(F.xxhash64(F.col("tok")), F.lit(dim))
+    else:
+        raise ValueError(f"featurize_text: unknown hash_fn {hash_fn!r}")
+    counts = (
+        toks.select(F.col(id_col), bucket.alias("j"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("j") == i, 1).otherwise(0))
+                .cast("double")
+                .alias(f"_f{i}")
+                for i in range(dim)
+            ]
+        )
+    )
+    return docs.select(id_col).join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.array(
+            *[F.coalesce(F.col(f"_f{i}"), F.lit(0.0)) for i in range(dim)]
+        ).alias("embedding"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -901,8 +901,8 @@ qual AS (
                  + 0.3 * least(n_stop / 5.0, 1.0), 6) AS quality_score
     FROM qfeat
 ),
-kept AS (SELECT url, quality_score FROM qual WHERE quality_score >= {min_quality}),
-canon AS (
+kept AS MATERIALIZED (SELECT url, quality_score FROM qual WHERE quality_score >= {min_quality}),
+canon AS MATERIALIZED (
     SELECT c.url, l.cluster_id,
            row_number() OVER (PARTITION BY l.cluster_id
                               ORDER BY c.warc_ts ASC NULLS FIRST, c.url) AS rn
@@ -910,40 +910,142 @@ canon AS (
 )"""
 
 
-def curation_corpus_sql(codes_path: str, min_quality: float = 0.35) -> str:
-    """Per-url twin of the final curated corpus: quality-kept canonical
-    cluster representatives with token accounting."""
-    base = _curation_base_ctes(codes_path, min_quality)
+def _curation_semantic_ctes(
+    cent_path: str, asg_path: str, dim: int, threshold: float
+) -> str:
+    """Twin CTEs of the curation plan's ⑥ SemDeDup stage: hashed-BoW
+    vectors RECOMPUTED from the canonical corpus text (md5-bucket
+    featurizer — byte-identical to operators/semantic.py:featurize_text
+    with hash_fn='md5'), centroid similarity + within-list pairs + CC
+    groups + keep-the-novel pick recomputed from the STAGED quantizer
+    model. Vector components are small integer counts, so every dot
+    product is exact in float64 regardless of summation order."""
     return f"""
-WITH RECURSIVE {base}
+scent AS (SELECT list_id, CAST(c AS DOUBLE[]) AS c
+          FROM read_parquet('{cent_path}')),
+sasg AS (SELECT vec_id AS url, list_id FROM read_parquet('{asg_path}')),
+-- MATERIALIZED is load-bearing on every multiply-referenced CTE below:
+-- DuckDB 1.0 inlines plain CTEs per reference, so without it each of the
+-- dozen+ transitive references to sm/curls re-evaluates the ENTIRE
+-- upstream tree (including the recursive clustering CC over the staged
+-- codes) — measured 300+ s vs ~5 s at sf0.01
+curls AS MATERIALIZED (SELECT url FROM canon WHERE rn = 1),
+stoks AS (
+    SELECT c.url,
+           unnest(regexp_split_to_array(lower(coalesce(d.text, '')), '\\s+'))
+               AS tok
+    FROM curls c JOIN docs2 d USING (url)
+),
+sbuck AS (
+    SELECT url, ('0x' || substr(md5(tok), 1, 8))::UBIGINT % {dim} AS j,
+           count(*) AS n
+    FROM stoks WHERE tok <> '' GROUP BY url, j
+),
+sgrid AS (SELECT c.url, gs.i
+          FROM curls c CROSS JOIN generate_series(0, {dim - 1}) AS gs(i)),
+svec AS MATERIALIZED (
+    SELECT g.url, list(coalesce(b.n, 0)::DOUBLE ORDER BY g.i) AS v
+    FROM sgrid g LEFT JOIN sbuck b ON b.url = g.url AND b.j = g.i
+    GROUP BY g.url
+),
+sm AS MATERIALIZED (SELECT s.url, a.list_id, s.v,
+              round(list_dot_product(s.v, sc.c) /
+                    (sqrt(list_dot_product(s.v, s.v)) *
+                     sqrt(list_dot_product(sc.c, sc.c))), 6) AS centroid_cos
+       FROM svec s JOIN sasg a USING (url) JOIN scent sc USING (list_id)),
+sp AS MATERIALIZED (SELECT a.url AS u, b.url AS w
+       FROM sm a JOIN sm b ON a.list_id = b.list_id AND a.url < b.url
+       WHERE round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}),
+ssym AS MATERIALIZED (SELECT u, w FROM sp UNION SELECT w AS u, u AS w FROM sp),
+scc AS (
+    SELECT url, url AS lbl FROM sm
+    UNION
+    SELECT s.w AS url, scc.lbl FROM scc JOIN ssym s ON scc.url = s.u
+),
+slabels AS MATERIALIZED (SELECT url, min(lbl) AS sem_group FROM scc GROUP BY url),
+sreps AS MATERIALIZED (
+    SELECT sem_group, url AS rep_url FROM (
+        SELECT l.sem_group, m.url,
+               row_number() OVER (PARTITION BY l.sem_group
+                                  ORDER BY m.centroid_cos, m.url) AS rn
+        FROM sm m JOIN slabels l USING (url)) WHERE rn = 1
+),
+skeep AS MATERIALIZED (SELECT m.url FROM sm m JOIN slabels l USING (url)
+          JOIN sreps r ON l.sem_group = r.sem_group AND m.url = r.rep_url)"""
+
+
+def curation_corpus_sql(
+    codes_path: str,
+    min_quality: float = 0.35,
+    semantic: dict | None = None,
+) -> str:
+    """Per-url twin of the final curated corpus: quality-kept canonical
+    cluster representatives with token accounting; with ``semantic``
+    (cent_path/asg_path/dim/threshold), only SemDeDup-kept survivors."""
+    base = _curation_base_ctes(codes_path, min_quality)
+    sem = ""
+    sem_join = ""
+    if semantic is not None:
+        sem = "," + _curation_semantic_ctes(
+            semantic["cent_path"], semantic["asg_path"],
+            semantic["dim"], semantic["threshold"],
+        )
+        sem_join = "JOIN skeep s ON s.url = c.url"
+    return f"""
+WITH RECURSIVE {base}{sem}
 SELECT c.url, c.cluster_id, t.n_chars, t.n_tokens, t.n_bpe_tokens,
        k.quality_score
 FROM canon c
 JOIN tok t USING (url)
 JOIN kept k USING (url)
+{sem_join}
 WHERE c.rn = 1
 """
 
 
-def curation_funnel_sql(codes_path: str, min_quality: float = 0.35) -> str:
+def curation_funnel_sql(
+    codes_path: str,
+    min_quality: float = 0.35,
+    semantic: dict | None = None,
+) -> str:
     """Audited-funnel twin: docs in → dropped by quality → dropped as
-    duplicate → docs out → tokens out, each independently recomputed."""
+    duplicate → dropped as semantic duplicate → docs out → tokens out,
+    each independently recomputed."""
     base = _curation_base_ctes(codes_path, min_quality)
+    if semantic is not None:
+        sem = "," + _curation_semantic_ctes(
+            semantic["cent_path"], semantic["asg_path"],
+            semantic["dim"], semantic["threshold"],
+        )
+        out_expr = "(SELECT count(*) FROM skeep)"
+        tokens_expr = (
+            "(SELECT sum(t.n_tokens) FROM skeep s JOIN tok t USING (url))"
+        )
+    else:
+        sem = ""
+        out_expr = "(SELECT count(*) FROM canon WHERE rn = 1)"
+        tokens_expr = (
+            "(SELECT sum(t.n_tokens) FROM canon c JOIN tok t USING (url) "
+            "WHERE c.rn = 1)"
+        )
     return f"""
-WITH RECURSIVE {base},
+WITH RECURSIVE {base}{sem},
 stats AS (
     SELECT (SELECT count(*) FROM documents) AS docs_in,
            (SELECT count(*) FROM qual WHERE quality_score < {min_quality})
                AS dropped_quality,
            (SELECT count(*) FROM kept) AS n_kept,
-           (SELECT count(*) FROM canon WHERE rn = 1) AS docs_out,
-           (SELECT sum(t.n_tokens) FROM canon c JOIN tok t USING (url)
-            WHERE c.rn = 1) AS tokens_out
+           (SELECT count(*) FROM canon WHERE rn = 1) AS n_canon,
+           {out_expr} AS docs_out,
+           {tokens_expr} AS tokens_out
 )
 SELECT metric, CAST(value AS BIGINT) AS value FROM (
     SELECT 'docs_in' AS metric, docs_in AS value FROM stats
     UNION ALL SELECT 'docs_dropped_quality', dropped_quality FROM stats
-    UNION ALL SELECT 'docs_dropped_duplicate', n_kept - docs_out FROM stats
+    UNION ALL SELECT 'docs_dropped_duplicate', n_kept - n_canon FROM stats
+    UNION ALL SELECT 'docs_dropped_semantic', n_canon - docs_out FROM stats
     UNION ALL SELECT 'docs_out', docs_out FROM stats
     UNION ALL SELECT 'tokens_out', tokens_out FROM stats
 )

@@ -6,7 +6,11 @@ from the engine's operators in the cost-correct order:
 pages → ⓪ quality gate (narrow native-SQL scoring + filter — cheap
 pruning BEFORE any expensive kernel work) → ①–④ near-dup detection +
 clustering + canonical pick (plans/dedup.py:run_dedup, resumable) →
-⑤ final corpus (canonical survivors only) with token accounting.
+⑤ corpus (canonical survivors only) with token accounting →
+⑥ optional SemDeDup semantic stage (CurateConfig.semantic): hashing-trick
+text embeddings + staged quantizer + keep-the-novel per group — the
+syntactic tracks upstream catch copies, this stage drops paraphrase-level
+redundancy the paper shows syntactic dedup misses.
 
 Every stage materializes through the same StageStore seam as run_dedup
 (parquet snapshot + manifest + per-stage metrics), so a killed run resumes
@@ -38,6 +42,17 @@ class CurateConfig:
     min_quality: float = 0.35
     dedup: DedupConfig = field(default_factory=DedupConfig)
     lineage: bool = True
+    # ⑥ optional SemDeDup stage over the canonical corpus: hashing-trick
+    # text embeddings → ivf_build quantizer → within-list cosine groups →
+    # keep-the-novel representative (operators/semantic.py). hash_fn 'md5'
+    # makes the whole stage cross-engine value-checkable (the driver row's
+    # posture); production default 'xxh64'.
+    semantic: bool = False
+    semantic_threshold: float = 0.9
+    semantic_dim: int = 64
+    semantic_k_lists: int = 8
+    semantic_iters: int = 2
+    semantic_hash: str = "xxh64"
 
 
 def run_curation(
@@ -82,21 +97,92 @@ def run_curation(
             "corpus",
         )
 
+    # ⑥ optional semantic dedup over the canonical corpus (SemDeDup):
+    # hashed-BoW vectors + quantizer model + per-doc keep decision are all
+    # staged, so the stage resumes like every other and a DuckDB twin can
+    # recompute the full decision surface from the staged model
+    final = corpus
+    if cfg.semantic:
+        from iscc_specs_spark.operators.ann import ivf_build
+        from iscc_specs_spark.operators.semantic import (
+            featurize_text,
+            semantic_dedup,
+        )
+
+        if store.has("sem_keep"):
+            sem_keep = store.read(spark, "sem_keep")
+        else:
+            emb = store.write(
+                featurize_text(
+                    corpus,
+                    dim=cfg.semantic_dim,
+                    id_col="url",
+                    hash_fn=cfg.semantic_hash,
+                ).select(F.col("url").alias("vec_id"), "embedding"),
+                "sem_vecs",
+            )
+            cents, assign = ivf_build(
+                emb,
+                k_lists=cfg.semantic_k_lists,
+                iters=cfg.semantic_iters,
+                dim=cfg.semantic_dim,
+                id_type="string",
+            )
+            store.write(
+                spark.createDataFrame(
+                    [(i, c) for i, c in enumerate(cents)],
+                    schema="list_id long, c array<double>",
+                ),
+                "sem_centroids",
+            )
+            # stage the assignment BEFORE consuming it twice: the GEMM
+            # argmax runs exactly once and the decision twin ranks the
+            # identical table (same rationale as the driver's IVF row)
+            assign = store.write(assign, "sem_assign")
+            sem = semantic_dedup(
+                emb,
+                threshold=cfg.semantic_threshold,
+                dim=cfg.semantic_dim,
+                model=(cents, assign),
+            )
+            sem_keep = store.write(
+                sem.select(
+                    F.col("vec_id").alias("url"),
+                    "sem_group",
+                    "group_size",
+                    "keep",
+                ),
+                "sem_keep",
+            )
+        if store.has("corpus_sem"):
+            final = store.read(spark, "corpus_sem")
+        else:
+            final = store.write(
+                corpus.join(
+                    sem_keep.where(F.col("keep")).select("url"),
+                    "url",
+                    "left_semi",
+                ),
+                "corpus_sem",
+            )
+
     n_in = pages.count()
     n_kept = kept.count()
-    n_out = corpus.count()
-    tokens_out = corpus.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    n_corpus = corpus.count()
+    n_out = final.count() if cfg.semantic else n_corpus
+    tokens_out = final.agg(F.sum("n_tokens")).collect()[0][0] or 0
     metrics = {
         "docs_in": n_in,
         "docs_dropped_quality": n_in - n_kept,
-        "docs_dropped_duplicate": n_kept - n_out,
+        "docs_dropped_duplicate": n_kept - n_corpus,
+        "docs_dropped_semantic": n_corpus - n_out,
         "docs_out": n_out,
         "tokens_out": int(tokens_out),
     }
     store.record_metrics("funnel", metrics)
     return {
         "scored": scored,
-        "corpus": corpus,
+        "corpus": final,
         "dedup": dd,
         "metrics": metrics,
         "store": store,

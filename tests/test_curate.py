@@ -38,6 +38,50 @@ def test_curation_funnel(spark, tmp_path):
     assert disk["docs_out"] == m["docs_out"]
 
 
+def test_curation_semantic_stage(spark, tmp_path):
+    """⑥ SemDeDup stage: the semantic corpus is a subset of the canonical
+    corpus, the funnel identity extends with the semantic term, and a
+    re-run resumes from the staged quantizer + keep table."""
+    out = str(tmp_path / "curate_sem")
+    pages = generate_pages(spark, 200, partitions=4).localCheckpoint(eager=True)
+    cfg = CurateConfig(semantic=True, semantic_threshold=0.9)
+    res = run_curation(spark, pages, out, cfg)
+    m = res["metrics"]
+
+    assert m["docs_in"] == 200
+    assert m["docs_in"] == (
+        m["docs_dropped_quality"]
+        + m["docs_dropped_duplicate"]
+        + m["docs_dropped_semantic"]
+        + m["docs_out"]
+    )
+    assert m["docs_dropped_semantic"] >= 0
+
+    final_urls = {r["url"] for r in res["corpus"].select("url").collect()}
+    canon_urls = {
+        r["url"]
+        for r in res["store"].read(spark, "corpus").select("url").collect()
+    }
+    assert final_urls <= canon_urls
+    assert len(final_urls) == m["docs_out"]
+
+    # exactly one kept doc per semantic group, over canonical docs only
+    keep = res["store"].read(spark, "sem_keep")
+    per_group = (
+        keep.groupBy("sem_group")
+        .agg(F.sum(F.col("keep").cast("int")).alias("n"))
+        .collect()
+    )
+    assert per_group and all(r["n"] == 1 for r in per_group)
+    assert keep.count() == len(canon_urls)
+
+    # identical re-run resumes every semantic stage from the store
+    second = run_curation(spark, pages, out, cfg)
+    assert {r["url"] for r in second["corpus"].select("url").collect()} == final_urls
+    for stage in ("sem_vecs", "sem_centroids", "sem_assign", "sem_keep", "corpus_sem"):
+        assert second["store"].has(stage), stage
+
+
 def test_curation_resumes_from_stages(spark, tmp_path):
     out = str(tmp_path / "curate2")
     pages = generate_pages(spark, 120, partitions=2).localCheckpoint(eager=True)

@@ -3,7 +3,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from iscc_specs_spark.operators.semantic import semantic_dedup
+from iscc_specs_spark.operators.semantic import featurize_text, semantic_dedup
 
 
 @pytest.fixture(scope="module")
@@ -96,3 +96,48 @@ def test_semantic_dedup_requires_dim(planted):
     df, _ = planted
     with pytest.raises(ValueError, match="dim"):
         semantic_dedup(df, threshold=0.9)
+
+
+def test_featurize_text_counts_and_zero_vector(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat sat on the mat"),
+            ("b", "THE the The"),  # case-folds to one token, count 3
+            ("c", ""),  # token-less → zero vector
+            ("d", None),  # NULL text → zero vector
+        ],
+        "url string, text string",
+    )
+    out = {
+        r["url"]: r["embedding"]
+        for r in featurize_text(docs, dim=16, hash_fn="xxh64").collect()
+    }
+    assert set(out) == {"a", "b", "c", "d"}
+    assert all(len(v) == 16 for v in out.values())
+    # total mass equals token count; identical tokens share one bucket
+    assert sum(out["a"]) == 6.0
+    assert sum(out["b"]) == 3.0 and max(out["b"]) == 3.0
+    assert out["c"] == [0.0] * 16 and out["d"] == [0.0] * 16
+
+
+def test_featurize_text_md5_matches_duckdb_bucketing(spark):
+    """The md5 bucket formula must be byte-identical to the DuckDB twin
+    expression (('0x'||substr(md5(tok),1,8))::UBIGINT % dim) used by the
+    curation oracle."""
+    import duckdb
+
+    toks = ["alpha", "bravo", "charlie", "Δelta", "écho", "123", "x" * 40]
+    docs = spark.createDataFrame(
+        [(t, t) for t in toks], "url string, text string"
+    )
+    got = {
+        r["url"]: [i for i, v in enumerate(r["embedding"]) if v]
+        for r in featurize_text(docs, dim=32, hash_fn="md5").collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(lower($1)), 1, 8))::UBIGINT % 32",
+            [t],
+        ).fetchone()[0]
+        assert got[t] == [want], t
