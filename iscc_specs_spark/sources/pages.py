@@ -147,11 +147,18 @@ def generate_pages_with_truth(
     n_docs: int,
     partitions: int | None = None,
     scale_words: int = 1,
+    start: int = 0,
 ) -> DataFrame:
-    """pages + ground-truth columns; distributed and deterministic."""
+    """pages + ground-truth columns; distributed and deterministic.
+
+    ``start`` offsets the doc_id range (rows are ``[start, start+n_docs)``)
+    so a corpus can be synthesized in arrival-ordered slices — the union of
+    consecutive slices is byte-identical to one full-range call, which is
+    what lets the streaming-recall harness feed the SAME planted corpus
+    through ``process_dedup_batch`` batch by batch."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
     return (
-        spark.range(0, n_docs, numPartitions=partitions)
+        spark.range(start, start + n_docs, numPartitions=partitions)
         .mapInPandas(_make_generate(scale_words), schema=_FULL_SCHEMA)
     )
 

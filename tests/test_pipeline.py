@@ -184,6 +184,28 @@ def test_canonical_pick_minby_no_window(spark):
     assert out.count() == 600
 
 
+def test_generate_pages_slices_union_to_full_range(spark):
+    """The ``start`` offset contract the streaming-recall harness
+    (bench.py:run_recall_streaming) depends on: the union of consecutive
+    doc_id slices is row-identical to one full-range call — every column,
+    including the planted truth labels."""
+    from iscc_specs_spark.sources.pages import generate_pages_with_truth
+
+    full = generate_pages_with_truth(spark, 300, partitions=4, scale_words=2)
+    slices = [
+        generate_pages_with_truth(
+            spark, 100, partitions=2, scale_words=2, start=lo
+        )
+        for lo in (0, 100, 200)
+    ]
+    unioned = slices[0].unionByName(slices[1]).unionByName(slices[2])
+    key = lambda r: r["url"]  # noqa: E731
+    a = sorted(full.collect(), key=key)
+    b = sorted(unioned.collect(), key=key)
+    assert len(a) == len(b) == 300
+    assert a == b
+
+
 def test_band_stage_is_bucketed_at_rest(spark, tmp_path):
     """The rep/band table is a WRITTEN stage partitioned by band_pfx: the
     manifest records the layout, the directory has the pfx dirs, a
