@@ -682,6 +682,43 @@ def _q_streaming_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): per-doc 13-gram
+    overlap report against a deterministic eval subset (doc_id % 37 == 5 —
+    "the benchmark leaked into the crawl"); eval grams broadcast, corpus
+    side one doc_id-keyed exchange. The DuckDB twin rebuilds both gram
+    sets from the same padded-shingle construction as ngram_jaccard."""
+    from iscc_specs_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    out = decontaminate(docs, docs.where(F.col("doc_id") % 37 == 5), n=13)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        "contaminated",
+    )
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample (operators/sampling.py):
+    hash-threshold mixing weights per language (en 0.5, de 0.25, fr 0.1,
+    default 0.05), md5 bucket so the DuckDB twin reproduces the exact keep
+    set; the operator itself is a zero-shuffle codegen filter (production
+    hash xxh64)."""
+    from iscc_specs_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.25, "fr": 0.1},
+        default_fraction=0.05,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id", "lang", F.col("sample_bucket").cast("long").alias("sample_bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ISCC pipeline (kernel-backed; oracled via staged codes parquet)
@@ -714,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "extracted_text": _q_extracted_text,
+        "decontaminate": _q_decontaminate,
+        "corpus_sample": _q_corpus_sample,
         "curation_corpus": _q_curation_corpus,
         "curation_funnel": _q_curation_funnel,
         "q1_pricing": _q_q1_pricing,
@@ -906,6 +945,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON inter.doc_a = sa.doc_id
             JOIN sizes sb ON inter.doc_b = sb.doc_id
             WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(13)})) AS shingle
+                   FROM toks),
+            ev AS (SELECT DISTINCT shingle FROM sh
+                   WHERE doc_id % 37 = 5 AND shingle <> ''),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                      FROM sh GROUP BY doc_id),
+            hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+                     FROM sh JOIN ev USING (shingle) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+                   coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN sizes s USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "corpus_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                            ::UBIGINT % 1000000 AS BIGINT) AS sample_bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, sample_bucket FROM b
+            WHERE sample_bucket < CASE lang WHEN 'en' THEN 500000
+                                            WHEN 'de' THEN 250000
+                                            WHEN 'fr' THEN 100000
+                                            ELSE 50000 END
         """,
         "embedding_neardup": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
