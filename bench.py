@@ -524,7 +524,27 @@ def run_scaling(n_docs: int) -> None:
             f" {sc_['docs_per_sec']} docs/s ingest including all state"
             " writes.\n\n"
         )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # carry over hand-maintained sections (run-to-run variance history,
+    # corpus-size ladder, …): any "## " section in the existing BENCH.md
+    # whose header this template does not regenerate is preserved verbatim,
+    # spliced between Controls and Recall — a regen must never silently
+    # drop recorded evidence
+    _own = {
+        "Full pipeline ladder",
+        "Controls (what bounds the measurement)",
+        "Recall at ladder scale",
+        "Headline throughput",
+    }
+    kept_md = ""
+    bench_path = os.path.join(REPO, "BENCH.md")
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            old = f.read()
+        for sec in old.split("\n## ")[1:]:
+            header = sec.splitlines()[0].strip()
+            if header not in _own:
+                kept_md += "## " + sec.rstrip() + "\n\n"
+    with open(bench_path, "w") as f:
         f.write(
             "# BENCH — scaling evidence (north rule: ≥0.8 efficiency N→4N)\n\n"
             "Sandbox protocol per BASELINE.md: no real multi-executor cluster"
@@ -585,6 +605,7 @@ def run_scaling(n_docs: int) -> None:
             " measured A/B); production sessions keep AQE on (session.py)."
             " Skew handling in the operators (bucket caps, exact-dup"
             " pre-collapse, df caps) does not depend on AQE.\n\n"
+            f"{kept_md}"
             f"{recall_md}"
             "## Headline throughput\n\n"
             "`python bench.py` runs the headline operator suite at"

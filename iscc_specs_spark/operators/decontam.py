@@ -55,6 +55,11 @@ def decontaminate(
     Empty-text grams ("" on either side) never match: an empty eval doc
     must not condemn every empty corpus doc.
     """
+    # one pass over the corpus shingles: a left broadcast probe of the eval
+    # set tags each gram, and gram count + hit count come out of a SINGLE
+    # doc_id aggregate — the shingle table has exactly one consumer (no
+    # re-expansion, no checkpoint) and the aggregate reuses the window
+    # build's doc_id partitioning (no second corpus-side exchange)
     sh = word_shingles(docs.select(F.col(id_col).alias("doc_id"), "text"), n)
     eval_grams = (
         word_shingles(
@@ -63,17 +68,19 @@ def decontaminate(
         .where(F.col("shingle") != "")
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hits = (
-        sh.join(F.broadcast(eval_grams), "shingle")
+    report = (
+        sh.join(F.broadcast(eval_grams), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit_grams"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_grams"),
+        )
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(sizes, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(report, "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
