@@ -514,15 +514,28 @@ def _curated(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir, "curation")
     if key not in _staged:
         shutil.rmtree(out, ignore_errors=True)
-        # the semantic stage runs with the md5 bucket hash so the DuckDB
-        # twin can recompute the hashed-BoW vectors from raw text
+        # every optional stage ON, with the md5 hash duals so the DuckDB
+        # twins can recompute each decision surface from raw text
         # (production default is xxh64 — same md5-for-oracle pattern as
-        # fingerprints/substring_matches)
+        # fingerprints/substring_matches): ⓪b decontamination against the
+        # deterministic doc_id % 37 == 5 eval slice, ⑥ SemDeDup, ⑦
+        # stratified mixing sample (fractions mirrored in _CURATION_SMP)
+        pages = pages_from_documents(spark, sf_dir)
+        eval_pages = pages.where(
+            F.element_at(F.split("url", "/"), -1).cast("long") % 37 == 5
+        ).select("url", "text")
         run_curation(
             spark,
-            pages_from_documents(spark, sf_dir),
+            pages,
             out,
-            CurateConfig(semantic=True, semantic_hash="md5"),
+            CurateConfig(
+                semantic=True,
+                semantic_hash="md5",
+                sample_fractions={"en": 0.8, "de": 0.6, "fr": 0.5},
+                sample_default=0.4,
+                sample_hash="md5",
+            ),
+            eval_pages=eval_pages,
         )
         _staged.add(key)
     return out
@@ -530,11 +543,12 @@ def _curated(spark: SparkSession, sf_dir: str) -> str:
 
 def _q_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final curated corpus — the end-to-end composition (quality gate ∘
-    dedup ∘ canonical pick ∘ token accounting ∘ SemDeDup) as one checkable
-    row set; the DuckDB twin recomputes every stage from `documents` + the
-    staged curation codes + the staged semantic quantizer model."""
+    decontamination ∘ dedup ∘ canonical pick ∘ token accounting ∘ SemDeDup
+    ∘ stratified mixing sample) as one checkable row set; the DuckDB twin
+    recomputes every stage from `documents` + the staged curation codes +
+    the staged semantic quantizer model + the md5 sample formula."""
     out = _curated(spark, sf_dir)
-    corpus = spark.read.parquet(f"{out}/corpus_sem")
+    corpus = spark.read.parquet(f"{out}/corpus_sampled")
     return corpus.select(
         "url", "cluster_id",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -545,10 +559,12 @@ def _q_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audited funnel (docs in / dropped-by-quality / dropped-as-dup /
-    dropped-as-semantic-dup / docs out / tokens out) recorded by the
-    curation run, as a driver row — the DuckDB twin re-derives all six
-    numbers independently."""
+    """The audited funnel (docs in / dropped-by-quality /
+    dropped-as-contaminated / dropped-as-dup / dropped-as-semantic-dup /
+    dropped-by-sampling / docs out / tokens out) recorded by the curation
+    run, as a driver row — the DuckDB twin re-derives all eight numbers
+    independently (contamination from raw text + the eval predicate,
+    sampling from the md5 bucket formula)."""
     import json
 
     out = _curated(spark, sf_dir)
@@ -557,8 +573,9 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (k, int(m[k]))
         for k in (
-            "docs_in", "docs_dropped_quality", "docs_dropped_duplicate",
-            "docs_dropped_semantic", "docs_out", "tokens_out",
+            "docs_in", "docs_dropped_quality", "docs_dropped_contaminated",
+            "docs_dropped_duplicate", "docs_dropped_semantic",
+            "docs_dropped_sampling", "docs_out", "tokens_out",
         )
     ]
     return spark.createDataFrame(rows, "metric string, value long")
@@ -804,6 +821,13 @@ _COS = (
 )
 
 
+_CURATION_DEC = {"n": 13, "eval_where": "doc_id % 37 = 5"}
+_CURATION_SMP = {
+    "thresholds": {"en": 800000, "de": 600000, "fr": 500000},
+    "default": 400000,
+}
+
+
 def _CURATION_SEM(stage: str) -> dict:
     """Staged-model paths + params of the curation run's SemDeDup stage
     (must mirror _curated's CurateConfig: md5 hash, dim 64, threshold 0.9,
@@ -899,10 +923,14 @@ def oracle_sql() -> dict[str, str]:
         "curation_corpus": _o.curation_corpus_sql(
             f"{stage}/curation/dedup/codes/*.parquet",
             semantic=_CURATION_SEM(stage),
+            decontam=_CURATION_DEC,
+            sample=_CURATION_SMP,
         ),
         "curation_funnel": _o.curation_funnel_sql(
             f"{stage}/curation/dedup/codes/*.parquet",
             semantic=_CURATION_SEM(stage),
+            decontam=_CURATION_DEC,
+            sample=_CURATION_SMP,
         ),
     }
     lang_hits = ", ".join(

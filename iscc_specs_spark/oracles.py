@@ -874,7 +874,7 @@ def _curation_base_ctes(codes_path: str, min_quality: float) -> str:
 {cc_ctes()},
 docs2 AS (
     SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
-           coalesce(text, '') AS text
+           coalesce(text, '') AS text, lang
     FROM documents
 ),
 tok AS (
@@ -976,14 +976,74 @@ skeep AS MATERIALIZED (SELECT m.url FROM sm m JOIN slabels l USING (url)
           JOIN sreps r ON l.sem_group = r.sem_group AND m.url = r.rep_url)"""
 
 
+def _curation_decontam_ctes(n: int, eval_where: str) -> str:
+    """Twin CTEs of the curation plan's ⓪b decontamination gate: eval
+    grams (padded-shingle construction shared with ngram_jaccard/
+    decontaminate) over ``documents WHERE {eval_where}``, corpus grams
+    over the quality-KEPT pages, dirty = any shared non-empty gram,
+    clean = kept minus dirty."""
+    toks = (
+        "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END"
+    )
+    sh = (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(0, len(t) - {n} + 1), "
+        f"i -> array_to_string(t[i+1:i+{n}], ' ')) "
+        f"ELSE [array_to_string(t, ' ')] END"
+    )
+    return f"""
+dct AS (SELECT k.url, {toks} AS t
+        FROM kept k JOIN docs2 USING (url)),
+dcsh AS (SELECT url, unnest(list_distinct({sh})) AS shingle FROM dct),
+dcev AS MATERIALIZED (
+    SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_distinct({sh})) AS shingle
+        FROM (SELECT {toks} AS t FROM documents WHERE {eval_where})
+    ) WHERE shingle <> ''
+),
+dirty AS MATERIALIZED (
+    SELECT DISTINCT d.url FROM dcsh d JOIN dcev USING (shingle)
+),
+clean AS MATERIALIZED (
+    SELECT url FROM kept WHERE url NOT IN (SELECT url FROM dirty)
+)"""
+
+
+def _curation_sample_ctes(
+    final_urls: str, thresholds: dict[str, int], default_threshold: int
+) -> str:
+    """Twin CTE of the curation plan's ⑦ stratified mixing sample over the
+    final url set ``final_urls`` (a CTE name): md5-bucket hash threshold
+    per language — byte-identical to operators/sampling.stratified_sample
+    with hash_fn='md5'."""
+    case = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(thresholds.items())
+    )
+    return f"""
+smpl AS MATERIALIZED (
+    SELECT f.url FROM {final_urls} f JOIN docs2 d USING (url)
+    WHERE CAST(('0x' || substr(md5(f.url), 1, 8))::UBIGINT % 1000000
+               AS BIGINT)
+          < CASE d.lang {case} ELSE {default_threshold} END
+)"""
+
+
 def curation_corpus_sql(
     codes_path: str,
     min_quality: float = 0.35,
     semantic: dict | None = None,
+    decontam: dict | None = None,
+    sample: dict | None = None,
 ) -> str:
     """Per-url twin of the final curated corpus: quality-kept canonical
     cluster representatives with token accounting; with ``semantic``
-    (cent_path/asg_path/dim/threshold), only SemDeDup-kept survivors."""
+    (cent_path/asg_path/dim/threshold), only SemDeDup-kept survivors; with
+    ``sample`` (thresholds/default), only mixing-sample survivors.
+    ``decontam`` (n/eval_where) does not change this row set — the staged
+    codes were computed on decontaminated pages, so canon is clean by
+    construction — but the funnel twin re-derives the drop count from raw
+    text (see :func:`curation_funnel_sql`)."""
     base = _curation_base_ctes(codes_path, min_quality)
     sem = ""
     sem_join = ""
@@ -993,14 +1053,26 @@ def curation_corpus_sql(
             semantic["dim"], semantic["threshold"],
         )
         sem_join = "JOIN skeep s ON s.url = c.url"
+    smp = ""
+    smp_join = ""
+    if sample is not None:
+        final_urls = (
+            "skeep" if semantic is not None
+            else "(SELECT url FROM canon WHERE rn = 1)"
+        )
+        smp = "," + _curation_sample_ctes(
+            final_urls, sample["thresholds"], sample["default"]
+        )
+        smp_join = "JOIN smpl m ON m.url = c.url"
     return f"""
-WITH RECURSIVE {base}{sem}
+WITH RECURSIVE {base}{sem}{smp}
 SELECT c.url, c.cluster_id, t.n_chars, t.n_tokens, t.n_bpe_tokens,
        k.quality_score
 FROM canon c
 JOIN tok t USING (url)
 JOIN kept k USING (url)
 {sem_join}
+{smp_join}
 WHERE c.rn = 1
 """
 
@@ -1009,43 +1081,73 @@ def curation_funnel_sql(
     codes_path: str,
     min_quality: float = 0.35,
     semantic: dict | None = None,
+    decontam: dict | None = None,
+    sample: dict | None = None,
 ) -> str:
     """Audited-funnel twin: docs in → dropped by quality → dropped as
-    duplicate → dropped as semantic duplicate → docs out → tokens out,
-    each independently recomputed."""
+    contaminated → dropped as duplicate → dropped as semantic duplicate →
+    dropped by sampling → docs out → tokens out, each independently
+    recomputed (the contamination drop from raw text + the eval predicate,
+    the sampling drop from the md5 bucket formula)."""
     base = _curation_base_ctes(codes_path, min_quality)
+    sem = ""
     if semantic is not None:
         sem = "," + _curation_semantic_ctes(
             semantic["cent_path"], semantic["asg_path"],
             semantic["dim"], semantic["threshold"],
         )
-        out_expr = "(SELECT count(*) FROM skeep)"
-        tokens_expr = (
+        sem_expr = "(SELECT count(*) FROM skeep)"
+        final_urls = "skeep"
+        final_tokens = (
             "(SELECT sum(t.n_tokens) FROM skeep s JOIN tok t USING (url))"
         )
     else:
-        sem = ""
-        out_expr = "(SELECT count(*) FROM canon WHERE rn = 1)"
-        tokens_expr = (
+        sem_expr = "(SELECT count(*) FROM canon WHERE rn = 1)"
+        final_urls = "(SELECT url FROM canon WHERE rn = 1)"
+        final_tokens = (
             "(SELECT sum(t.n_tokens) FROM canon c JOIN tok t USING (url) "
             "WHERE c.rn = 1)"
         )
+    dec = ""
+    if decontam is not None:
+        dec = "," + _curation_decontam_ctes(
+            decontam["n"], decontam["eval_where"]
+        )
+        clean_expr = "(SELECT count(*) FROM clean)"
+    else:
+        clean_expr = "(SELECT count(*) FROM kept)"
+    smp = ""
+    if sample is not None:
+        smp = "," + _curation_sample_ctes(
+            final_urls, sample["thresholds"], sample["default"]
+        )
+        out_expr = "(SELECT count(*) FROM smpl)"
+        tokens_expr = (
+            "(SELECT sum(t.n_tokens) FROM smpl s JOIN tok t USING (url))"
+        )
+    else:
+        out_expr = sem_expr
+        tokens_expr = final_tokens
     return f"""
-WITH RECURSIVE {base}{sem},
+WITH RECURSIVE {base}{sem}{dec}{smp},
 stats AS (
     SELECT (SELECT count(*) FROM documents) AS docs_in,
            (SELECT count(*) FROM qual WHERE quality_score < {min_quality})
                AS dropped_quality,
            (SELECT count(*) FROM kept) AS n_kept,
+           {clean_expr} AS n_clean,
            (SELECT count(*) FROM canon WHERE rn = 1) AS n_canon,
+           {sem_expr} AS n_sem,
            {out_expr} AS docs_out,
            {tokens_expr} AS tokens_out
 )
 SELECT metric, CAST(value AS BIGINT) AS value FROM (
     SELECT 'docs_in' AS metric, docs_in AS value FROM stats
     UNION ALL SELECT 'docs_dropped_quality', dropped_quality FROM stats
-    UNION ALL SELECT 'docs_dropped_duplicate', n_kept - n_canon FROM stats
-    UNION ALL SELECT 'docs_dropped_semantic', n_canon - docs_out FROM stats
+    UNION ALL SELECT 'docs_dropped_contaminated', n_kept - n_clean FROM stats
+    UNION ALL SELECT 'docs_dropped_duplicate', n_clean - n_canon FROM stats
+    UNION ALL SELECT 'docs_dropped_semantic', n_canon - n_sem FROM stats
+    UNION ALL SELECT 'docs_dropped_sampling', n_sem - docs_out FROM stats
     UNION ALL SELECT 'docs_out', docs_out FROM stats
     UNION ALL SELECT 'tokens_out', tokens_out FROM stats
 )

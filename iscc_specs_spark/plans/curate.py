@@ -4,13 +4,19 @@ The complete pipeline a 100 TB pre-training corpus actually runs, composed
 from the engine's operators in the cost-correct order:
 
 pages → ⓪ quality gate (narrow native-SQL scoring + filter — cheap
-pruning BEFORE any expensive kernel work) → ①–④ near-dup detection +
-clustering + canonical pick (plans/dedup.py:run_dedup, resumable) →
-⑤ corpus (canonical survivors only) with token accounting →
-⑥ optional SemDeDup semantic stage (CurateConfig.semantic): hashing-trick
-text embeddings + staged quantizer + keep-the-novel per group — the
-syntactic tracks upstream catch copies, this stage drops paraphrase-level
-redundancy the paper shows syntactic dedup misses.
+pruning BEFORE any expensive kernel work) → ⓪b optional benchmark
+decontamination (active when ``run_curation`` receives ``eval_pages``):
+13-gram eval-overlap docs are dropped BEFORE the kernel ever codes them,
+so a leaked benchmark can never become a cluster's canonical
+representative → ①–④ near-dup detection + clustering + canonical pick
+(plans/dedup.py:run_dedup, resumable) → ⑤ corpus (canonical survivors
+only) with token accounting → ⑥ optional SemDeDup semantic stage
+(CurateConfig.semantic): hashing-trick text embeddings + staged quantizer
++ keep-the-novel per group — the syntactic tracks upstream catch copies,
+this stage drops paraphrase-level redundancy the paper shows syntactic
+dedup misses → ⑦ optional stratified mixing sample
+(CurateConfig.sample_fractions): deterministic hash-threshold draw per
+language, the last step because mixing weights apply to the CLEAN corpus.
 
 Every stage materializes through the same StageStore seam as run_dedup
 (parquet snapshot + manifest + per-stage metrics), so a killed run resumes
@@ -53,6 +59,15 @@ class CurateConfig:
     semantic_k_lists: int = 8
     semantic_iters: int = 2
     semantic_hash: str = "xxh64"
+    # ⓪b decontamination gram width (the stage runs iff run_curation gets
+    # an eval_pages table — the benchmark is external input, not config)
+    decontam_n: int = 13
+    # ⑦ optional stratified mixing sample over the final corpus: stratum →
+    # fraction (strata absent from the map get sample_default). Same
+    # md5-for-oracle / xxh64-production dual as the semantic stage.
+    sample_fractions: dict | None = None
+    sample_default: float = 0.0
+    sample_hash: str = "xxh64"
 
 
 def run_curation(
@@ -60,11 +75,18 @@ def run_curation(
     pages: DataFrame,
     out_dir: str,
     cfg: CurateConfig | None = None,
+    eval_pages: DataFrame | None = None,
 ) -> dict:
-    """Returns {"corpus": final DataFrame, "metrics": funnel dict, ...}."""
+    """Returns {"corpus": final DataFrame, "metrics": funnel dict, ...}.
+
+    ``eval_pages`` (url, text) switches on the ⓪b decontamination gate:
+    quality-kept pages sharing any ``cfg.decontam_n``-gram with the eval
+    set are dropped before dedup."""
     cfg = cfg or CurateConfig()
     store = StageStore(
-        out_dir, config_hash(asdict(cfg)), lineage=cfg.lineage
+        out_dir,
+        config_hash({**asdict(cfg), "decontam": eval_pages is not None}),
+        lineage=cfg.lineage,
     )
 
     # ⓪ quality gate — native SQL, no shuffle; score every page, keep the
@@ -79,8 +101,31 @@ def run_curation(
         )
     kept = scored.where(F.col("quality_score") >= cfg.min_quality)
 
+    # ⓪b optional decontamination gate: the per-doc overlap report is the
+    # staged audit artifact (every kept doc, hit counts included), the
+    # clean set feeds the pipeline. Runs BEFORE the kernel: a leaked
+    # benchmark doc must neither be coded nor win a canonical pick.
+    clean = kept
+    if eval_pages is not None:
+        from iscc_specs_spark.operators.decontam import decontaminate
+
+        if store.has("decontam"):
+            rep = store.read(spark, "decontam")
+        else:
+            rep = store.write(
+                decontaminate(
+                    kept, eval_pages, n=cfg.decontam_n, id_col="url"
+                ),
+                "decontam",
+            )
+        clean = kept.join(
+            rep.where(~F.col("contaminated")).select("url"),
+            "url",
+            "left_semi",
+        )
+
     # ①–④ dedup on the surviving pages (resumable sub-plan, own manifest)
-    dd = run_dedup(spark, kept, f"{out_dir}/dedup", cfg.dedup)
+    dd = run_dedup(spark, clean, f"{out_dir}/dedup", cfg.dedup)
 
     # ⑤ final corpus: canonical representative per cluster only, with
     # per-document token accounting for downstream data budgeting
@@ -91,9 +136,9 @@ def run_curation(
         corpus = store.write(
             # drop the gate's n_tokens so token_counts' full accounting
             # (n_chars / n_tokens / n_bpe_tokens) is the single source
-            kept.drop("n_tokens")
+            clean.drop("n_tokens")
             .join(canonical.select("url", "cluster_id"), "url")
-            .join(token_counts(kept, id_col="url"), "url"),
+            .join(token_counts(clean, id_col="url"), "url"),
             "corpus",
         )
 
@@ -166,16 +211,44 @@ def run_curation(
                 "corpus_sem",
             )
 
+    # ⑦ optional stratified mixing sample — the last stage: fractions are
+    # the data-budget knob and must apply to the already-clean corpus
+    n_sem = None
+    if cfg.sample_fractions is not None:
+        from iscc_specs_spark.operators.sampling import stratified_sample
+
+        n_sem = final.count()
+        if store.has("corpus_sampled"):
+            final = store.read(spark, "corpus_sampled")
+        else:
+            final = store.write(
+                stratified_sample(
+                    final,
+                    cfg.sample_fractions,
+                    default_fraction=cfg.sample_default,
+                    strata_col="lang",
+                    key_col="url",
+                    hash_fn=cfg.sample_hash,
+                ),
+                "corpus_sampled",
+            )
+
     n_in = pages.count()
     n_kept = kept.count()
+    n_clean = clean.count() if eval_pages is not None else n_kept
     n_corpus = corpus.count()
-    n_out = final.count() if cfg.semantic else n_corpus
+    n_sem = n_sem if n_sem is not None else (
+        final.count() if cfg.semantic else n_corpus
+    )
+    n_out = final.count() if (cfg.semantic or cfg.sample_fractions) else n_corpus
     tokens_out = final.agg(F.sum("n_tokens")).collect()[0][0] or 0
     metrics = {
         "docs_in": n_in,
         "docs_dropped_quality": n_in - n_kept,
-        "docs_dropped_duplicate": n_kept - n_corpus,
-        "docs_dropped_semantic": n_corpus - n_out,
+        "docs_dropped_contaminated": n_kept - n_clean,
+        "docs_dropped_duplicate": n_clean - n_corpus,
+        "docs_dropped_semantic": n_corpus - n_sem,
+        "docs_dropped_sampling": n_sem - n_out,
         "docs_out": n_out,
         "tokens_out": int(tokens_out),
     }

@@ -38,6 +38,51 @@ def test_curation_funnel(spark, tmp_path):
     assert disk["docs_out"] == m["docs_out"]
 
 
+def test_curation_decontam_and_sampling_stages(spark, tmp_path):
+    """⓪b + ⑦: contaminated docs never reach the corpus (and never win a
+    canonical pick), the mixing sample is a deterministic subset, and the
+    eight-term funnel identity holds."""
+    out = str(tmp_path / "curate_ds")
+    pages = generate_pages(spark, 200, partitions=4).localCheckpoint(eager=True)
+    # eval set = a deterministic slice of the corpus itself → those pages
+    # are contaminated by construction (plus any true 13-gram overlaps)
+    eval_pages = pages.where(
+        F.element_at(F.split("url", "/"), -1).cast("long") % 10 == 3
+    ).select("url", "text").localCheckpoint(eager=True)
+    cfg = CurateConfig(
+        sample_fractions={"en": 1.0, "de": 0.5},
+        sample_default=0.0,
+    )
+    res = run_curation(spark, pages, out, cfg, eval_pages=eval_pages)
+    m = res["metrics"]
+
+    assert m["docs_in"] == 200
+    assert m["docs_in"] == (
+        m["docs_dropped_quality"]
+        + m["docs_dropped_contaminated"]
+        + m["docs_dropped_duplicate"]
+        + m["docs_dropped_semantic"]
+        + m["docs_dropped_sampling"]
+        + m["docs_out"]
+    )
+    assert m["docs_dropped_contaminated"] > 0
+    assert m["docs_dropped_semantic"] == 0  # stage off
+    assert m["docs_dropped_sampling"] > 0  # non-en strata drop
+
+    # no contaminated url in the final corpus; only en/de survive sampling
+    rep = res["store"].read(spark, "decontam")
+    dirty = {r["url"] for r in rep.where("contaminated").collect()}
+    final_rows = res["corpus"].select("url", "lang").collect()
+    assert dirty and not ({r["url"] for r in final_rows} & dirty)
+    assert {r["lang"] for r in final_rows} <= {"en", "de"}
+
+    # resume: identical re-run reads every stage back
+    again = run_curation(spark, pages, out, cfg, eval_pages=eval_pages)
+    assert again["metrics"] == m
+    for stage in ("decontam", "corpus_sampled"):
+        assert again["store"].has(stage), stage
+
+
 def test_curation_semantic_stage(spark, tmp_path):
     """⑥ SemDeDup stage: the semantic corpus is a subset of the canonical
     corpus, the funnel identity extends with the semantic term, and a
