@@ -170,6 +170,14 @@ def _q_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_matches(_docs(spark, sf_dir), min_len=48, anchor="md5")
 
 
+def _q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators.substring import substring_cut
+
+    # long-match REMOVAL over the same md5-anchored match set: keep-first
+    # policy, merged spans cut from the higher doc_id's text
+    return substring_cut(_docs(spark, sf_dir), min_len=48, anchor="md5")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.multimodal import extract_features, synthetic_assets
 
@@ -745,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_stats": _q_lsh_band_stats,
         "cluster_mixed_cid": _q_cluster_mixed_cid,
         "substring_matches": _q_substring_matches,
+        "substring_cut": _q_substring_cut,
         "multimodal_features": _q_multimodal_features,
         "image_codes": _q_image_codes,
         "av_codes": _q_av_codes,
@@ -856,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_band_stats": _o.lsh_band_stats_sql(codes_pq),
         "cluster_mixed_cid": _o.cluster_mixed_cid_sql(codes_pq),
         "substring_matches": _o.substring_matches_sql(min_len=48),
+        "substring_cut": _o.substring_cut_sql(min_len=48),
         "multimodal_features": _o.multimodal_features_sql(assets_pq),
         "image_codes": _o.image_codes_sql(f"{stage}/image_codes/*.parquet"),
         "av_codes": _o.av_codes_sql(f"{stage}/av_codes/*.parquet"),

@@ -29,7 +29,7 @@ clusters into ``docs`` rather than the full corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_K = 24          # anchor window chars
@@ -128,4 +128,90 @@ def substring_matches(
     )
     return runs.select(
         "doc_a", "doc_b", "a_start", "b_start", "n_anchors", "match_len_lb"
+    )
+
+
+def substring_cut(
+    docs: DataFrame,
+    matches: DataFrame | None = None,
+    k: int = DEFAULT_K,
+    sample: int = DEFAULT_SAMPLE,
+    min_len: int = DEFAULT_MIN_LEN,
+    df_cap: int = DEFAULT_DF_CAP,
+    min_anchors: int = 2,
+    anchor: str = "xxh64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact long-match REMOVAL (the north rule's substring-dedup stage).
+
+    Keep-first policy (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every verified match span the document
+    with the LOWER id keeps its copy; the higher-id document's span
+    ``[b_start, b_start + match_len_lb)`` is cut. Overlapping / touching
+    cut spans within a document are interval-merged before cutting, so a
+    document matched by several earlier documents loses each region once.
+
+    Returns one row per input document:
+    ``(doc_id, n_spans_cut, chars_cut, clean_len, clean_text)`` —
+    untouched documents pass through with zero counters.
+
+    Scale shape: the span table is tiny relative to the corpus (only
+    matched documents appear); interval merge is a Window over doc_id —
+    bounded partitions (spans per doc ≤ matches per doc). Text is joined
+    ONCE per document and reassembled with a single aggregate over the
+    per-doc merged-span array (small array → the interpreted-HOF cost the
+    repo documents for hot per-element paths does not apply here).
+    """
+    if matches is None:
+        matches = substring_matches(
+            docs, k, sample, min_len, df_cap, min_anchors, anchor
+        )
+    spans = matches.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("start"),
+        (F.col("b_start") + F.col("match_len_lb")).alias("end"),
+    )
+    # interval merge (gaps-and-islands): a span starts a new island iff it
+    # begins after every previous span's end (end is exclusive, so touching
+    # spans — start == prev_end — merge too).
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = spans.withColumn(
+        "new_island", (F.col("start") > F.coalesce(prev_end, F.lit(0))).cast("int")
+    ).withColumn("island", F.sum("new_island").over(w))
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("start").alias("start"), F.max("end").alias("end")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("start", "end"))).alias("spans"),
+        F.count("*").alias("n_spans_cut"),
+        F.sum(F.col("end") - F.col("start")).alias("chars_cut"),
+    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    # cut: walk the sorted spans once, emitting the text between cursor and
+    # each span start, then the tail from the last span's end.
+    pieces = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(1).cast("long").alias("cur"), F.lit("").alias("acc")),
+        lambda s, sp: F.struct(
+            sp["end"].cast("long").alias("cur"),
+            F.concat(
+                s["acc"], txt.substr(s["cur"], sp["start"].cast("long") - s["cur"])
+            ).alias("acc"),
+        ),
+        lambda s: F.concat(
+            s["acc"], txt.substr(s["cur"], F.length(txt).cast("long") - s["cur"] + 1)
+        ),
+    )
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
+        per_doc, "doc_id", "left"
+    )
+    clean = F.when(F.col("spans").isNull(), txt).otherwise(pieces)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_spans_cut"), F.lit(0)).cast("long").alias("n_spans_cut"),
+        F.coalesce(F.col("chars_cut"), F.lit(0)).cast("long").alias("chars_cut"),
+        F.length(clean).cast("long").alias("clean_len"),
+        clean.alias("clean_text"),
     )

@@ -605,12 +605,9 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN p USING (doc_id)
 """
 
 
-def substring_matches_sql(
-    k: int = 24, min_len: int = 48, df_cap: int = 64, min_anchors: int = 2,
-) -> str:
-    """Full winnowed-anchor substring-dedup twin over ``documents`` — md5
-    window hashes (both engines), keep windows whose last md5 hex nibble is
-    ≡ 0 mod 4, df-cap, co-linear span merge (operators/substring.py)."""
+def _substring_runs_ctes(k: int, df_cap: int) -> str:
+    """Shared CTE chain (documents → winnowed md5 anchors → df-cap →
+    co-linear runs) used by both substring twins."""
     return f"""
 WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
 pos AS (SELECT doc_id, t,
@@ -634,10 +631,78 @@ runs AS (
            min(pos_a) AS a_start, min(pos_b) AS b_start,
            max(pos_a) - min(pos_a) + {k} AS match_len_lb
     FROM shared GROUP BY 1, 2, 3
-)
+)"""
+
+
+def substring_matches_sql(
+    k: int = 24, min_len: int = 48, df_cap: int = 64, min_anchors: int = 2,
+) -> str:
+    """Full winnowed-anchor substring-dedup twin over ``documents`` — md5
+    window hashes (both engines), keep windows whose last md5 hex nibble is
+    ≡ 0 mod 4, df-cap, co-linear span merge (operators/substring.py)."""
+    return f"""{_substring_runs_ctes(k, df_cap)}
 SELECT doc_a, doc_b, a_start, b_start, n_anchors, match_len_lb
 FROM runs
 WHERE n_anchors >= {min_anchors} AND match_len_lb >= {min_len}
+"""
+
+
+def substring_cut_sql(
+    k: int = 24, min_len: int = 48, df_cap: int = 64, min_anchors: int = 2,
+) -> str:
+    """Long-match REMOVAL twin (operators/substring.py:substring_cut):
+    same runs chain, then keep-first spans into doc_b, interval merge
+    (gaps-and-islands), and per-doc reassembly of the kept segments via
+    ordered string_agg — all recomputed from raw documents text."""
+    return f"""{_substring_runs_ctes(k, df_cap)},
+spans AS (
+    SELECT doc_b AS doc_id, b_start AS s, b_start + match_len_lb AS e
+    FROM runs
+    WHERE n_anchors >= {min_anchors} AND match_len_lb >= {min_len}
+),
+isl AS (
+    SELECT doc_id, s, e,
+           sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+    FROM (SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_e
+          FROM spans)
+),
+mrg AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        FROM isl GROUP BY 1, 2),
+seg AS (
+    SELECT doc_id,
+           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+               AS seg_start,
+           s AS seg_end
+    FROM mrg
+    UNION ALL
+    SELECT doc_id, max(e) AS seg_start, NULL AS seg_end
+    FROM mrg GROUP BY doc_id
+),
+clean AS (
+    SELECT g.doc_id,
+           string_agg(
+               CASE WHEN seg_end IS NULL THEN substr(d.t, CAST(seg_start AS INT))
+                    ELSE substr(d.t, CAST(seg_start AS INT),
+                                CAST(seg_end - seg_start AS INT)) END,
+               '' ORDER BY seg_start) AS clean_text
+    FROM seg g JOIN d ON d.doc_id = g.doc_id
+    GROUP BY g.doc_id
+),
+stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut,
+                 CAST(sum(e - s) AS BIGINT) AS chars_cut
+          FROM mrg GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(st.n_spans_cut, 0) AS n_spans_cut,
+       coalesce(st.chars_cut, 0) AS chars_cut,
+       CAST(length(coalesce(c.clean_text, d.t)) AS BIGINT) AS clean_len,
+       coalesce(c.clean_text, d.t) AS clean_text
+FROM d
+LEFT JOIN clean c USING (doc_id)
+LEFT JOIN stats st USING (doc_id)
 """
 
 
