@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_pairs",
     "dedup_clusters",
     "substring_matches",
+    "substring_cut",
     # training-data operators
     "exact_dedup",
     "ngram_jaccard",
@@ -105,6 +106,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         )
 
     qs["substring_matches"] = _substring_prod
+
+    # same production-vs-oracle anchor dual for the removal stage
+    def _substring_cut_prod(s, sf_dir_):
+        from iscc_specs_spark.operators.substring import substring_cut
+
+        return substring_cut(
+            entrymod._docs(s, sf_dir_), min_len=48, anchor="xxh64"
+        )
+
+    qs["substring_cut"] = _substring_cut_prod
 
     # bench the exact-cosine verifier via its PRODUCTION implementation:
     # distributed blocked GEMM (Arrow + float64 matmul per tile pair)

@@ -89,6 +89,8 @@ def substring_matches(
     df_cap: int = DEFAULT_DF_CAP,
     min_anchors: int = 2,
     anchor: str = "xxh64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Cross-document exact long-match spans.
 
@@ -96,7 +98,7 @@ def substring_matches(
     match_len_lb is the *verified lower bound* on the shared-substring
     length (span between first and last co-linear shared anchors + k).
     """
-    anchors = anchor_table(docs, k, sample, anchor=anchor)
+    anchors = anchor_table(docs, k, sample, id_col, text_col, anchor)
     # skew guard: drop anchors present in too many docs (boilerplate)
     df_counts = anchors.groupBy("anchor_hash").agg(
         F.count_distinct("doc_id").alias("df")
@@ -165,7 +167,8 @@ def substring_cut(
     """
     if matches is None:
         matches = substring_matches(
-            docs, k, sample, min_len, df_cap, min_anchors, anchor
+            docs, k, sample, min_len, df_cap, min_anchors, anchor,
+            id_col, text_col,
         )
     spans = matches.select(
         F.col("doc_b").alias("doc_id"),

@@ -10,7 +10,13 @@ decontamination (active when ``run_curation`` receives ``eval_pages``):
 so a leaked benchmark can never become a cluster's canonical
 representative → ①–④ near-dup detection + clustering + canonical pick
 (plans/dedup.py:run_dedup, resumable) → ⑤ corpus (canonical survivors
-only) with token accounting → ⑥ optional SemDeDup semantic stage
+only) with token accounting → ⑤b optional exact long-match removal
+(CurateConfig.substring_cut, Lee et al. 2022 ExactSubstr): residual
+cross-document spans ≥ min_len chars (shared boilerplate, quoted
+passages) are cut keep-first from the canonical text and token
+accounting is recomputed — rewrites, not drops, so the funnel records
+``docs_rewritten_substring``/``chars_cut_substring`` instead of a drop
+term → ⑥ optional SemDeDup semantic stage
 (CurateConfig.semantic): hashing-trick text embeddings + staged quantizer
 + keep-the-novel per group — the syntactic tracks upstream catch copies,
 this stage drops paraphrase-level redundancy the paper shows syntactic
@@ -62,6 +68,14 @@ class CurateConfig:
     # ⓪b decontamination gram width (the stage runs iff run_curation gets
     # an eval_pages table — the benchmark is external input, not config)
     decontam_n: int = 13
+    # ⑤b optional exact long-match removal over the canonical corpus
+    # (Lee et al. 2022 ExactSubstr): verified cross-document spans ≥
+    # substring_min_len chars are cut from the higher-url doc (keep-first),
+    # then token accounting is recomputed on the rewritten text. Same
+    # md5-for-oracle / xxh64-production hash dual as the other stages.
+    substring_cut: bool = False
+    substring_min_len: int = 48
+    substring_hash: str = "xxh64"
     # ⑦ optional stratified mixing sample over the final corpus: stratum →
     # fraction (strata absent from the map get sample_default). Same
     # md5-for-oracle / xxh64-production dual as the semantic stage.
@@ -141,6 +155,46 @@ def run_curation(
             .join(token_counts(clean, id_col="url"), "url"),
             "corpus",
         )
+
+    # ⑤b optional exact long-match removal (Lee et al. ExactSubstr): the
+    # doc-level tracks upstream collapse whole-document duplicates; this
+    # stage cuts the residual cross-document long spans (shared
+    # boilerplate, quoted passages) out of the surviving canonical text.
+    # Keep-first: the lower url keeps its copy. No document is dropped —
+    # text is rewritten, so token accounting is recomputed downstream of
+    # the cut and the funnel gains rewrite counters instead of a drop term.
+    if cfg.substring_cut:
+        from iscc_specs_spark.operators.substring import (
+            substring_cut as _substring_cut,
+        )
+
+        if store.has("corpus_cut"):
+            corpus = store.read(spark, "corpus_cut")
+        else:
+            cut = store.write(
+                _substring_cut(
+                    corpus,
+                    min_len=cfg.substring_min_len,
+                    anchor=cfg.substring_hash,
+                    id_col="url",
+                ),
+                "sub_cut",
+            )
+            rewritten = corpus.drop(
+                "text", "n_chars", "n_tokens", "n_bpe_tokens"
+            ).join(
+                cut.select(
+                    F.col("doc_id").alias("url"),
+                    F.col("clean_text").alias("text"),
+                    "n_spans_cut",
+                    "chars_cut",
+                ),
+                "url",
+            )
+            corpus = store.write(
+                rewritten.join(token_counts(rewritten, id_col="url"), "url"),
+                "corpus_cut",
+            )
 
     # ⑥ optional semantic dedup over the canonical corpus (SemDeDup):
     # hashed-BoW vectors + quantizer model + per-doc keep decision are all
@@ -237,6 +291,13 @@ def run_curation(
     n_kept = kept.count()
     n_clean = clean.count() if eval_pages is not None else n_kept
     n_corpus = corpus.count()
+    sub_rewritten = sub_chars_cut = 0
+    if cfg.substring_cut:
+        row = corpus.agg(
+            F.sum((F.col("n_spans_cut") > 0).cast("long")).alias("d"),
+            F.sum("chars_cut").alias("c"),
+        ).collect()[0]
+        sub_rewritten, sub_chars_cut = int(row["d"] or 0), int(row["c"] or 0)
     n_sem = n_sem if n_sem is not None else (
         final.count() if cfg.semantic else n_corpus
     )
@@ -247,6 +308,8 @@ def run_curation(
         "docs_dropped_quality": n_in - n_kept,
         "docs_dropped_contaminated": n_kept - n_clean,
         "docs_dropped_duplicate": n_clean - n_corpus,
+        "docs_rewritten_substring": sub_rewritten,
+        "chars_cut_substring": sub_chars_cut,
         "docs_dropped_semantic": n_corpus - n_sem,
         "docs_dropped_sampling": n_sem - n_out,
         "docs_out": n_out,

@@ -127,6 +127,56 @@ def test_curation_semantic_stage(spark, tmp_path):
         assert second["store"].has(stage), stage
 
 
+def test_curation_substring_cut_stage(spark, tmp_path):
+    """⑤b ExactSubstr stage: a long passage planted across DIFFERENT
+    clusters (so it survives doc-level dedup) is cut keep-first from the
+    canonical text, token accounting is recomputed on the rewritten text,
+    and the stage resumes from the store."""
+    out = str(tmp_path / "curate_cut")
+    passage = " ".join(f"sharedrun{i:03d}" for i in range(40))  # ~480 chars
+    pages = (
+        generate_pages(spark, 200, partitions=4)
+        .withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("url"), F.lit(10)) < 2,
+                F.concat_ws(" ", "text", F.lit(passage)),
+            ).otherwise(F.col("text")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cfg = CurateConfig(substring_cut=True)
+    res = run_curation(spark, pages, out, cfg)
+    m = res["metrics"]
+
+    # rewrites, not drops: the doc-count identity is unchanged
+    assert m["docs_in"] == 200
+    assert m["docs_in"] == (
+        m["docs_dropped_quality"] + m["docs_dropped_duplicate"] + m["docs_out"]
+    )
+    assert m["docs_rewritten_substring"] > 0
+    assert m["chars_cut_substring"] >= m["docs_rewritten_substring"] * 48
+
+    rows = res["corpus"].select(
+        "url", "text", "n_spans_cut", "chars_cut", "n_chars", "n_tokens"
+    ).collect()
+    cut_docs = [r for r in rows if r["n_spans_cut"] > 0]
+    assert len(cut_docs) == m["docs_rewritten_substring"]
+    # keep-first: the passage body survives in at least one doc and is cut
+    # from every rewritten doc (span edges may leave < k-char remnants)
+    assert any("sharedrun020" in r["text"] for r in rows)
+    assert all("sharedrun020" not in r["text"] for r in cut_docs)
+    # token accounting reflects the REWRITTEN text everywhere
+    for r in rows:
+        assert r["n_chars"] == len(r["text"])
+
+    # identical re-run resumes the staged cut
+    again = run_curation(spark, pages, out, cfg)
+    assert again["metrics"] == m
+    for stage in ("sub_cut", "corpus_cut"):
+        assert again["store"].has(stage), stage
+
+
 def test_curation_resumes_from_stages(spark, tmp_path):
     out = str(tmp_path / "curate2")
     pages = generate_pages(spark, 120, partitions=2).localCheckpoint(eager=True)
