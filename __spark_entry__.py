@@ -178,6 +178,15 @@ def _q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_cut(_docs(spark, sf_dir), min_len=48, anchor="md5")
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators.urls import crawl_variants, url_dedup
+
+    # URL canonicalization + latest-crawl-wins dedup over deterministic
+    # messy crawl records (6 spelling classes per logical page); the DuckDB
+    # twin rebuilds the identical records and canonical rules in SQL
+    return url_dedup(crawl_variants(_docs(spark, sf_dir)), ts_col="ts")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.multimodal import extract_features, synthetic_assets
 
@@ -754,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_mixed_cid": _q_cluster_mixed_cid,
         "substring_matches": _q_substring_matches,
         "substring_cut": _q_substring_cut,
+        "url_dedup": _q_url_dedup,
         "multimodal_features": _q_multimodal_features,
         "image_codes": _q_image_codes,
         "av_codes": _q_av_codes,
@@ -866,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_mixed_cid": _o.cluster_mixed_cid_sql(codes_pq),
         "substring_matches": _o.substring_matches_sql(min_len=48),
         "substring_cut": _o.substring_cut_sql(min_len=48),
+        "url_dedup": _o.url_dedup_sql(),
         "multimodal_features": _o.multimodal_features_sql(assets_pq),
         "image_codes": _o.image_codes_sql(f"{stage}/image_codes/*.parquet"),
         "av_codes": _o.av_codes_sql(f"{stage}/av_codes/*.parquet"),

@@ -55,6 +55,7 @@ HEADLINE = [
     "fingerprints",
     "decontaminate",
     "corpus_sample",
+    "url_dedup",
     "multimodal_features",
     "image_codes_2k",
     "av_codes_4k",

@@ -706,6 +706,73 @@ LEFT JOIN stats st USING (doc_id)
 """
 
 
+def url_dedup_sql() -> str:
+    """URL canonicalization + crawl dedup twin (operators/urls.py): rebuild
+    the deterministic messy crawl records from ``documents`` (same spelling
+    classes and staggered ts as ``crawl_variants``), apply the identical
+    canonical-form rules step by step in DuckDB SQL, then latest-ts-wins /
+    min-url-tiebreak per canonical url."""
+    return """
+WITH v AS (
+    SELECT doc_id % 6 AS k,
+           CAST((doc_id // 3) % 40 AS VARCHAR) AS site,
+           CAST(doc_id // 3 AS VARCHAR) AS page,
+           CAST(1700000000 + (doc_id * 37) % 100000 AS BIGINT) AS ts
+    FROM documents
+),
+crawl AS (
+    SELECT CASE k
+        WHEN 0 THEN 'https://site' || site || '.example/p/' || page
+        WHEN 1 THEN 'HTTPS://WWW.Site' || site || '.EXAMPLE/p/' || page || '#frag'
+        WHEN 2 THEN 'https://site' || site || '.example:443/p/' || page || '/'
+        WHEN 3 THEN 'https://site' || site || '.example/p/' || page
+                    || '?utm_source=feed&utm_campaign=x'
+        WHEN 4 THEN 'https://site' || site || '.example/p/' || page || '?b=2&a=1'
+        ELSE 'http://www.site' || site || '.example:80/p/' || page
+             || '?a=1&gclid=g&b=2'
+    END AS url, ts
+    FROM v
+),
+parts AS (
+    SELECT url, ts,
+           lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_replace(lower(regexp_extract(u1, '^[^:/?#]+://([^/?#]*)', 1)),
+                          '^www\\.', '') AS host0,
+           regexp_replace(regexp_extract(u1, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                          '/+$', '') AS path,
+           list_sort(list_filter(
+               regexp_split_to_array(regexp_extract(u1, '\\?([^#]*)', 1), '&'),
+               x -> x <> '' AND NOT regexp_matches(
+                   x, '^(utm_[^=]*|gclid|fbclid|ref|sessionid)(=.*)?$')
+           )) AS params
+    FROM (SELECT url, ts, regexp_replace(url, '#.*$', '') AS u1 FROM crawl)
+),
+canon AS (
+    SELECT url, ts,
+           scheme || '://'
+           || CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                       THEN regexp_replace(host0, ':80$', '')
+                   WHEN scheme = 'https' AND host0 LIKE '%:443'
+                       THEN regexp_replace(host0, ':443$', '')
+                   ELSE host0 END
+           || path
+           || CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                   ELSE '' END AS canon_url
+    FROM parts
+),
+latest AS (
+    SELECT canon_url, max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY 1
+)
+SELECT c.canon_url, min(c.url) AS url, l.last_ts, l.n_variants
+FROM canon c
+JOIN latest l ON c.canon_url = l.canon_url AND c.ts = l.last_ts
+GROUP BY 1, 3, 4
+"""
+
+
 def multimodal_features_sql(assets_path: str) -> str:
     """Independent recomputation of the byte-level features from the staged
     asset payloads: n_bytes, payload fingerprint (sha256 of the lowercase
