@@ -187,6 +187,19 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(crawl_variants(_docs(spark, sf_dir)), ts_col="ts")
 
 
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators.urls import crawl_variants, domain_stats
+
+    # per-registrable-domain corpus rollup (C4/RefinedWeb domain filtering
+    # aggregate) over the same deterministic messy crawl records as
+    # url_dedup, joined back to the document text + lang
+    docs = _docs(spark, sf_dir)
+    pages = crawl_variants(docs, keep_id=True).join(
+        docs.select("doc_id", "text", "lang"), "doc_id"
+    )
+    return domain_stats(pages)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.multimodal import extract_features, synthetic_assets
 
@@ -764,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_matches": _q_substring_matches,
         "substring_cut": _q_substring_cut,
         "url_dedup": _q_url_dedup,
+        "domain_stats": _q_domain_stats,
         "multimodal_features": _q_multimodal_features,
         "image_codes": _q_image_codes,
         "av_codes": _q_av_codes,
@@ -877,6 +891,61 @@ def oracle_sql() -> dict[str, str]:
         "substring_matches": _o.substring_matches_sql(min_len=48),
         "substring_cut": _o.substring_cut_sql(min_len=48),
         "url_dedup": _o.url_dedup_sql(),
+        "domain_stats": f"""{_o.crawl_ctes()},
+            base AS (
+                SELECT c.url, d.lang, d.text AS text
+                FROM crawl c JOIN documents d USING (doc_id)
+            ),
+            feats AS (
+                SELECT url, lang,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       CASE WHEN length(coalesce(text, '')) > 0
+                            THEN len(regexp_extract_all(coalesce(text, ''), '{_PUNCT_RE}'))
+                                 / length(coalesce(text, ''))
+                            ELSE 0.0 END AS praw,
+                       CAST(len(list_intersect(list_distinct({_TOKS}), {_QSW}))
+                            AS BIGINT) AS n_stopwords
+                FROM base
+            ),
+            q AS (
+                SELECT url, lang, n_tokens,
+                       round(0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                                         THEN 1.0 ELSE 0.0 END)
+                             + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+                             + 0.3 * least(n_stopwords / 5.0, 1.0), 6) AS quality_score
+                FROM feats
+            ),
+            dom AS (
+                SELECT CASE WHEN len(labels) >= 3 AND labels[-2] IN
+                                 ('co', 'com', 'net', 'org', 'ac', 'gov', 'edu')
+                            THEN array_to_string(labels[-3:], '.')
+                            WHEN len(labels) >= 2
+                            THEN array_to_string(labels[-2:], '.')
+                            ELSE host0 END AS domain,
+                       lang, n_tokens,
+                       CAST(round(quality_score * 1000000) AS BIGINT) AS q_m
+                FROM (
+                    SELECT string_split(host0, '.') AS labels, host0,
+                           lang, n_tokens, quality_score
+                    FROM (
+                        SELECT regexp_replace(regexp_replace(
+                                   lower(regexp_extract(url,
+                                       '^[^:/?#]+://([^/?#]*)', 1)),
+                                   '^www\\.', ''), ':\\d+$', '') AS host0,
+                               lang, n_tokens, quality_score
+                        FROM q
+                    )
+                )
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(q_m) AS BIGINT) AS sum_q_millionths,
+                   round(CAST(sum(q_m) AS BIGINT) / 1000000.0 / count(*), 6)
+                       AS avg_quality,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM dom GROUP BY domain
+        """,
         "multimodal_features": _o.multimodal_features_sql(assets_pq),
         "image_codes": _o.image_codes_sql(f"{stage}/image_codes/*.parquet"),
         "av_codes": _o.av_codes_sql(f"{stage}/av_codes/*.parquet"),

@@ -56,6 +56,7 @@ HEADLINE = [
     "decontaminate",
     "corpus_sample",
     "url_dedup",
+    "domain_stats",
     "multimodal_features",
     "image_codes_2k",
     "av_codes_4k",

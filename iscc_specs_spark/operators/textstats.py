@@ -59,11 +59,15 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", keep_cols: tuple = ()
+) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + one score.
 
     score = 0.4·len_ok + 0.3·(1−punct_ratio clipped) + 0.3·stopword_signal —
     a deterministic heuristic in [0,1]; thresholds are corpus knobs.
+    ``keep_cols`` pass through unchanged (the operator is a pure projection,
+    so carrying columns beats a join-back).
     """
     text = F.coalesce(F.col("text"), F.lit(""))
     toks = _tokens()
@@ -81,6 +85,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     return docs.select(
         id_col,
+        *keep_cols,
         F.size(toks).alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         n_stop.alias("n_stopwords"),

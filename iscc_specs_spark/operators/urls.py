@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 
 TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|ref|sessionid)(=.*)?$"
 
+# second-level labels under which a third label is the registrable domain
+# (engine-defined shortlist, not a full public-suffix list — the rule is
+# deterministic and its DuckDB twin applies the identical set)
+SUFFIX_2LD = ("co", "com", "net", "org", "ac", "gov", "edu")
+
 
 def canonical_url(url: Column | str) -> Column:
     """Canonical form of ``url`` (see module docstring for the rules)."""
@@ -71,7 +76,83 @@ def canonical_url(url: Column | str) -> Column:
     return F.concat(scheme, F.lit("://"), host, path, qpart)
 
 
-def crawl_variants(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def registered_domain(url: Column | str) -> Column:
+    """Registrable domain of ``url``: lowercase host, ``www.`` and port
+    stripped, then the last 2 labels — or 3 when the second-to-last label
+    is a :data:`SUFFIX_2LD` entry (``a.b.co.uk`` → ``b.co.uk``)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(F.regexp_replace(host, r"^www\.", ""), r":\d+$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    take3 = (n >= 3) & F.element_at(labels, -2).isin(*SUFFIX_2LD)
+    return F.when(take3, F.array_join(F.slice(labels, -3, 3), ".")).otherwise(
+        F.when(n >= 2, F.array_join(F.slice(labels, -2, 2), ".")).otherwise(host)
+    )
+
+
+def domain_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-registrable-domain corpus statistics — the aggregation behind
+    domain-level filtering (C4 / RefinedWeb prune whole domains on these).
+
+    Returns ``(domain, n_docs, n_tokens, sum_q_millionths, avg_quality,
+    n_langs)``. The quality average is computed order-independently: the
+    per-doc ``quality_score`` (already rounded to 6 dp) is scaled to an
+    integer millionths sum, so Spark and the DuckDB twin produce the exact
+    same double regardless of aggregation order — float ``avg()`` over a
+    shuffled table is NOT reduction-order-stable, an integer sum is.
+
+    Scale shape: quality scoring is a zero-shuffle codegen projection, so
+    the whole operator is scan → project → one exchange on ``domain``
+    (map-side partial aggregation; domains are bounded hot keys only in
+    the sense of crawl frequency, and the partial agg absorbs them).
+    """
+    from iscc_specs_spark.operators.textstats import quality_scores
+
+    rows = quality_scores(
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.col(lang_col).alias("lang"),
+            F.col(text_col).alias("text"),
+        ),
+        id_col="url",
+        keep_cols=("lang",),
+    )
+    return (
+        rows.select(
+            registered_domain("url").alias("domain"),
+            "n_tokens",
+            (F.round(F.col("quality_score") * 1e6)).cast("long").alias("q_m"),
+            "lang",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("q_m").alias("sum_q_millionths"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "sum_q_millionths",
+            F.round(
+                F.col("sum_q_millionths") / 1e6 / F.col("n_docs"), 6
+            ).alias("avg_quality"),
+            "n_langs",
+        )
+    )
+
+
+def crawl_variants(
+    docs: DataFrame, id_col: str = "doc_id", keep_id: bool = False
+) -> DataFrame:
     """Deterministic messy crawl records ``(url, ts)`` from a documents
     table — the driver-contract fixture for :func:`url_dedup` (the DuckDB
     twin rebuilds the identical rows in SQL, ``oracles.py:url_dedup_sql``).
@@ -95,7 +176,8 @@ def crawl_variants(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .otherwise(F.concat(F.lit("http://www.site"), site, F.lit(".example:80/p/"), page, F.lit("?a=1&gclid=g&b=2")))
     )
     ts = (F.lit(1700000000).cast("long") + (i * 37) % 100000).alias("ts")
-    return docs.select(url.alias("url"), ts)
+    cols = ([F.col(id_col)] if keep_id else []) + [url.alias("url"), ts]
+    return docs.select(*cols)
 
 
 def url_dedup(

@@ -706,22 +706,20 @@ LEFT JOIN stats st USING (doc_id)
 """
 
 
-def url_dedup_sql() -> str:
-    """URL canonicalization + crawl dedup twin (operators/urls.py): rebuild
-    the deterministic messy crawl records from ``documents`` (same spelling
-    classes and staggered ts as ``crawl_variants``), apply the identical
-    canonical-form rules step by step in DuckDB SQL, then latest-ts-wins /
-    min-url-tiebreak per canonical url."""
+def crawl_ctes() -> str:
+    """Shared CTE pair rebuilding ``crawl_variants``' deterministic messy
+    crawl records ``(doc_id, url, ts)`` from ``documents`` — used by the
+    url_dedup and domain_stats twins."""
     return """
 WITH v AS (
-    SELECT doc_id % 6 AS k,
+    SELECT doc_id, doc_id % 6 AS k,
            CAST((doc_id // 3) % 40 AS VARCHAR) AS site,
            CAST(doc_id // 3 AS VARCHAR) AS page,
            CAST(1700000000 + (doc_id * 37) % 100000 AS BIGINT) AS ts
     FROM documents
 ),
 crawl AS (
-    SELECT CASE k
+    SELECT doc_id, CASE k
         WHEN 0 THEN 'https://site' || site || '.example/p/' || page
         WHEN 1 THEN 'HTTPS://WWW.Site' || site || '.EXAMPLE/p/' || page || '#frag'
         WHEN 2 THEN 'https://site' || site || '.example:443/p/' || page || '/'
@@ -732,7 +730,16 @@ crawl AS (
              || '?a=1&gclid=g&b=2'
     END AS url, ts
     FROM v
-),
+)"""
+
+
+def url_dedup_sql() -> str:
+    """URL canonicalization + crawl dedup twin (operators/urls.py): rebuild
+    the deterministic messy crawl records from ``documents`` (same spelling
+    classes and staggered ts as ``crawl_variants``), apply the identical
+    canonical-form rules step by step in DuckDB SQL, then latest-ts-wins /
+    min-url-tiebreak per canonical url."""
+    return f"""{crawl_ctes()},
 parts AS (
     SELECT url, ts,
            lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,

@@ -59,6 +59,44 @@ def test_url_dedup_latest_wins_min_url_tiebreak(spark):
     assert b["n_variants"] == 1 and b["url"] == "https://b.example/q?a=1"
 
 
+def test_registered_domain(spark):
+    cases = {
+        "https://www.news.example.com/a": "example.com",
+        "https://a.b.co.uk/x?y=1": "b.co.uk",
+        "HTTP://Sub.Site.ORG:8080/p": "site.org",
+        "https://site7.example/p/9": "site7.example",
+        "https://localhost/x": "localhost",
+        "https://deep.sub.tree.example.net/": "example.net",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["d"]
+        for r in df.select("url", U.registered_domain("url").alias("d")).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, raw
+
+
+def test_domain_stats_order_independent_quality(spark):
+    rows = [
+        ("https://www.a.example/1", "x " * 20 + "the of and", "en"),
+        ("https://a.example/2?utm_source=1", "y", "de"),
+        ("https://b.co.uk/1", "z " * 50 + "the is", "en"),
+    ]
+    out = {
+        r["domain"]: r
+        for r in U.domain_stats(
+            spark.createDataFrame(rows, "url string, text string, lang string")
+        ).collect()
+    }
+    assert set(out) == {"a.example", "b.co.uk"}
+    a = out["a.example"]
+    assert a["n_docs"] == 2 and a["n_langs"] == 2
+    # integer millionths sum makes the average reduction-order-exact
+    assert a["sum_q_millionths"] == round(a["avg_quality"] * 2 * 1e6)
+    assert out["b.co.uk"]["n_docs"] == 1
+
+
 def test_crawl_variants_collapse(spark):
     docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
     crawl = U.crawl_variants(docs)
