@@ -3,8 +3,11 @@
 The complete pipeline a 100 TB pre-training corpus actually runs, composed
 from the engine's operators in the cost-correct order:
 
-pages → ⓪ quality gate (narrow native-SQL scoring + filter — cheap
-pruning BEFORE any expensive kernel work) → ⓪b optional benchmark
+pages → ⓪a optional canonical-URL crawl dedup (CurateConfig.url_dedup):
+the same page under many url spellings collapses to one crawl record,
+latest warc_ts wins — the cheapest duplicate class, removed before even
+the quality projection runs → ⓪ quality gate (narrow native-SQL scoring
++ filter — cheap pruning BEFORE any expensive kernel work) → ⓪b optional benchmark
 decontamination (active when ``run_curation`` receives ``eval_pages``):
 13-gram eval-overlap docs are dropped BEFORE the kernel ever codes them,
 so a leaked benchmark can never become a cluster's canonical
@@ -51,6 +54,10 @@ from iscc_specs_spark.sources.storage import StageStore, config_hash
 
 @dataclass
 class CurateConfig:
+    # ⓪a optional canonical-URL crawl dedup before ANY scoring: the same
+    # page under many spellings (case, www, default port, tracking params,
+    # fragments) collapses to one crawl record, latest warc_ts wins
+    url_dedup: bool = False
     min_quality: float = 0.35
     dedup: DedupConfig = field(default_factory=DedupConfig)
     lineage: bool = True
@@ -103,6 +110,19 @@ def run_curation(
         lineage=cfg.lineage,
     )
 
+    # ⓪a optional canonical-URL crawl dedup — the cheapest duplicate class
+    # (one page, many url spellings) drops before any scoring or kernel
+    # work. The kept record's original url stays the pipeline key.
+    crawl = pages
+    if cfg.url_dedup:
+        from iscc_specs_spark.operators.urls import url_dedup as _url_dedup
+
+        if store.has("url_keep"):
+            keep_urls = store.read(spark, "url_keep")
+        else:
+            keep_urls = store.write(_url_dedup(pages), "url_keep")
+        crawl = pages.join(keep_urls.select("url"), "url", "left_semi")
+
     # ⓪ quality gate — native SQL, no shuffle; score every page, keep the
     # ones above threshold. Both sides are recorded (kept pages feed the
     # pipeline; the scored table itself is the audit trail).
@@ -110,7 +130,7 @@ def run_curation(
         scored = store.read(spark, "scored")
     else:
         scored = store.write(
-            pages.join(quality_scores(pages, id_col="url"), "url"),
+            crawl.join(quality_scores(crawl, id_col="url"), "url"),
             "scored",
         )
     kept = scored.where(F.col("quality_score") >= cfg.min_quality)
@@ -288,6 +308,7 @@ def run_curation(
             )
 
     n_in = pages.count()
+    n_crawl = crawl.count() if cfg.url_dedup else n_in
     n_kept = kept.count()
     n_clean = clean.count() if eval_pages is not None else n_kept
     n_corpus = corpus.count()
@@ -305,7 +326,8 @@ def run_curation(
     tokens_out = final.agg(F.sum("n_tokens")).collect()[0][0] or 0
     metrics = {
         "docs_in": n_in,
-        "docs_dropped_quality": n_in - n_kept,
+        "docs_dropped_url_duplicate": n_in - n_crawl,
+        "docs_dropped_quality": n_crawl - n_kept,
         "docs_dropped_contaminated": n_kept - n_clean,
         "docs_dropped_duplicate": n_clean - n_corpus,
         "docs_rewritten_substring": sub_rewritten,

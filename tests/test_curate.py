@@ -127,6 +127,48 @@ def test_curation_semantic_stage(spark, tmp_path):
         assert second["store"].has(stage), stage
 
 
+def test_curation_url_dedup_stage(spark, tmp_path):
+    """⓪a canonical-URL crawl dedup: re-crawled spellings of the same page
+    collapse before the quality gate; the later crawl wins; the funnel
+    identity extends with the url term."""
+    out = str(tmp_path / "curate_url")
+    pages = generate_pages(spark, 150, partitions=4)
+    # a re-crawl of ~1/3 of the pages under a tracking-param spelling,
+    # one second later
+    recrawl = pages.where(
+        F.element_at(F.split("url", "/"), -1).cast("long") % 3 == 1
+    ).withColumn("url", F.concat("url", F.lit("?utm_source=re"))).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    n_re = recrawl.count()
+    assert n_re > 0
+    crawl = pages.unionByName(recrawl).localCheckpoint(eager=True)
+    cfg = CurateConfig(url_dedup=True)
+    res = run_curation(spark, crawl, out, cfg)
+    m = res["metrics"]
+
+    assert m["docs_in"] == 150 + n_re
+    assert m["docs_dropped_url_duplicate"] == n_re
+    assert m["docs_in"] == (
+        m["docs_dropped_url_duplicate"]
+        + m["docs_dropped_quality"]
+        + m["docs_dropped_duplicate"]
+        + m["docs_out"]
+    )
+    # the later crawl's spelling is the kept record
+    kept_urls = [
+        r["url"]
+        for r in res["store"].read(spark, "url_keep").collect()
+        if r["n_variants"] > 1
+    ]
+    assert kept_urls and all(u.endswith("?utm_source=re") for u in kept_urls)
+
+    # identical re-run resumes the staged keep set
+    again = run_curation(spark, crawl, out, cfg)
+    assert again["metrics"] == m
+    assert again["store"].has("url_keep")
+
+
 def test_curation_substring_cut_stage(spark, tmp_path):
     """⑤b ExactSubstr stage: a long passage planted across DIFFERENT
     clusters (so it survives doc-level dedup) is cut keep-first from the
