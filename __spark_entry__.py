@@ -458,6 +458,50 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(reflowed, min_df=2)
 
 
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (operators/textstats.py:c4_filters). The
+    synthetic corpus is single-line and unpunctuated, so the row reflows
+    each doc into 8-token lines and decorates them deterministically —
+    terminal punctuation (or none) and a 'javascript' poison by
+    (doc_id*31+i) % 5, plus page-level 'lorem ipsum' / brace marker lines
+    on doc_id % 13 / % 17 — all mirrored verbatim by the DuckDB twin."""
+    from iscc_specs_spark.operators.textstats import c4_filters
+
+    width = 8
+    did = F.col("doc_id")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    nl = F.greatest(
+        F.floor((F.size(toks) + F.lit(width - 1)) / F.lit(width)).cast("int"),
+        F.lit(1),
+    )
+    m = lambda i: (did * 31 + i) % 5
+    lines = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(toks, (i - F.lit(1)) * width + F.lit(1), width), " "
+            ),
+            F.when(m(i) == 1, F.lit("."))
+            .when(m(i) == 2, F.lit("!"))
+            .when(m(i) == 3, F.lit(" javascript."))
+            .when(m(i) == 4, F.lit("?"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    lines = F.when(
+        did % 13 == 0,
+        F.concat(lines, F.array(F.lit("lorem ipsum dolor sit amet."))),
+    ).otherwise(lines)
+    lines = F.when(
+        did % 17 == 0,
+        F.concat(lines, F.array(F.lit("if (x) { return 1; }"))),
+    ).otherwise(lines)
+    decorated = _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return c4_filters(decorated)
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection/redaction (operators/textstats.py:pii_scrub). The
     synthetic corpus carries no PII, so the row first injects
@@ -690,6 +734,40 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-batch replay of the streaming canonical-URL crawl
+    dedup (streaming/ingest.py:process_url_batch) over the same messy crawl
+    records as url_dedup, split by doc_id parity: batch 0 (even) → batch 1
+    (odd) → batch 1 AGAIN (the retry). The DuckDB twin recomputes every
+    intra-batch and vs-history flag from ``documents``; replay
+    non-idempotence or a self-match would hash-mismatch."""
+    import shutil
+
+    from iscc_specs_spark.operators.urls import crawl_variants
+    from iscc_specs_spark.streaming.ingest import (
+        process_url_batch,
+        read_url_flags,
+    )
+
+    state = os.path.join(_stage_dir(sf_dir), "url_stream_state")
+    key = (sf_dir, "url_stream_state")
+    if key not in _staged:
+        shutil.rmtree(state, ignore_errors=True)
+        pages = crawl_variants(_docs(spark, sf_dir), keep_id=True).select(
+            "doc_id", "url", F.col("ts").alias("warc_ts")
+        )
+        b0 = pages.where(F.col("doc_id") % 2 == 0).drop("doc_id")
+        b1 = pages.where(F.col("doc_id") % 2 == 1).drop("doc_id")
+        process_url_batch(b0, 0, state)
+        process_url_batch(b1, 1, state)
+        process_url_batch(b1, 1, state)  # replay must be a no-op
+        _staged.add(key)
+    return read_url_flags(spark, state).select(
+        "url", "dup_of", "canon_url", "src",
+        F.col("ingest_batch").cast("long").alias("ingest_batch"),
+    )
+
+
 def _stream_state(spark: SparkSession, sf_dir: str) -> str:
     """Build the two-batch (+replay) streaming dedup state once per process;
     returns the state dir (codes / dup_flags / bands tables)."""
@@ -785,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_canonical": _q_streaming_canonical,
+        "streaming_url_dedup": _q_streaming_url_dedup,
         # SQL-oracled operators
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -797,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
+        "c4_filters": _q_c4_filters,
         "pii_scrub": _q_pii_scrub,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
@@ -1010,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
             f"{stage}/stream_state/codes/*/*.parquet",
             f"{stage}/stream_state/dup_flags/*/*.parquet",
         ),
+        "streaming_url_dedup": _o.streaming_url_dedup_sql(),
         "curation_corpus": _o.curation_corpus_sql(
             f"{stage}/curation/dedup/codes/*.parquet",
             semantic=_CURATION_SEM(stage),
@@ -1144,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": _o.repetition_stats_sql(),
         "line_dedup": _o.line_dedup_sql(min_df=2, width=8),
+        "c4_filters": _o.c4_filters_sql(width=8),
         "pii_scrub": _o.pii_scrub_sql(),
         "language_id": f"""
             WITH h AS (SELECT doc_id, {lang_hits} FROM documents)

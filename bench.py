@@ -50,6 +50,7 @@ HEADLINE = [
     "quality_scores",
     "repetition_stats",
     "line_dedup",
+    "c4_filters",
     "pii_scrub",
     "language_id",
     "fingerprints",

@@ -337,3 +337,92 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, F.md5(red).alias("clean_fp")
     )
+
+
+# C4 line/page heuristics (Raffel et al. 2020 §2.2, arXiv:1910.10683):
+# keep lines ending in terminal punctuation with >= 3 words and no
+# "javascript"; drop pages with < 5 kept sentences, "lorem ipsum", or "{".
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_SENTENCE_RE = r"[.!?]"
+
+
+def c4_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) as one pass.
+
+    Line rule — a line is kept iff its trimmed text ends in terminal
+    punctuation (``.!?"``), contains >= ``min_words`` whitespace words,
+    and does not mention "javascript" (case-insensitive). Page rule — the
+    page is kept iff its kept lines carry >= ``min_sentences`` sentence
+    marks and the raw text contains neither "lorem ipsum" nor ``{``.
+
+    Per document: ``(doc_id, n_lines, n_kept_lines, n_sentences,
+    has_lorem, has_brace, keep, clean_fp)`` where ``clean_fp`` = md5 of
+    the kept lines re-joined with ``\\n`` in original order (page-dropped
+    docs still report their would-be clean_fp; ``keep`` is the verdict).
+
+    Scale: page flags are computed ONCE per doc before the explode (not
+    per line — that would re-scan the full text n_lines times), then one
+    posexplode and one groupBy on doc_id — a single doc_id-keyed exchange,
+    skew-free (doc_id in the key), bounded reassembly per doc exactly like
+    line_dedup. All predicates are codegen-resident regexps; the per-doc
+    sort/filter/transform HOFs run on one document's line array (the
+    small-array case where interpreted HOFs are fine, CLAUDE.md).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem"),
+        text.contains("{").alias("has_brace"),
+        F.split(text, "\n").alias("ls"),
+    )
+    lines = base.select(
+        "doc_id", "has_lorem", "has_brace",
+        F.posexplode("ls").alias("pos", "line"),
+    )
+    trimmed = F.trim(F.col("line"))
+    kept = (
+        trimmed.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(trimmed, r"\s+")) >= min_words)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    agg = lines.groupBy("doc_id", "has_lorem", "has_brace").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(kept.cast("long")).alias("n_kept_lines"),
+        F.sum(
+            F.when(kept, F.regexp_count(trimmed, F.lit(C4_SENTENCE_RE)))
+            .otherwise(0)
+            .cast("long")
+        ).alias("n_sentences"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(F.col("pos"), kept.alias("k"), F.col("line"))
+                            )
+                        ),
+                        lambda s: s["k"],
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_fp"),
+    )
+    return agg.select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        "has_lorem", "has_brace",
+        (
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("keep"),
+        "clean_fp",
+    )

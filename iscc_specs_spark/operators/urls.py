@@ -181,17 +181,24 @@ def crawl_variants(
 
 
 def url_dedup(
-    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canon_col: str | None = None,
 ) -> DataFrame:
     """One crawl record per canonical url.
 
     Returns ``(canon_url, url, last_ts, n_variants)`` where ``url`` is the
     kept original spelling: the latest ``ts_col`` wins and ties break to
     the smallest original url. ``ts_col`` may be a timestamp or any
-    orderable type.
+    orderable type. Pass ``canon_col`` when the input already carries the
+    canonical form (e.g. the streaming batch canonicalizes once and reuses
+    it for the history-index prefix).
     """
     canon = pages.select(
-        canonical_url(url_col).alias("canon_url"),
+        (
+            F.col(canon_col) if canon_col else canonical_url(url_col)
+        ).alias("canon_url"),
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("ts"),
     )

@@ -493,6 +493,76 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def c4_filters_sql(width: int = 8, min_words: int = 3, min_sent: int = 5) -> str:
+    """Twin of operators/textstats.py:c4_filters over the driver row's
+    deterministic reflow + decoration: same 8-token lines, same
+    (doc_id*31+i) % 5 punctuation/javascript decoration, same page-level
+    lorem/brace marker lines, then the C4 line and page rules recomputed
+    from scratch."""
+    w = width
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+    FROM documents
+),
+dl AS (
+    SELECT doc_id,
+           [array_to_string(toks[(i-1)*{w}+1:(i-1)*{w}+{w}], ' ')
+            || CASE (doc_id*31 + i) % 5
+                   WHEN 1 THEN '.' WHEN 2 THEN '!'
+                   WHEN 3 THEN ' javascript.' WHEN 4 THEN '?'
+                   ELSE '' END
+            for i in generate_series(1, greatest((len(toks)+{w - 1})//{w}, 1))] AS ls0
+    FROM d
+),
+dl2 AS (
+    SELECT doc_id,
+           list_concat(list_concat(ls0,
+               CASE WHEN doc_id % 13 = 0
+                    THEN ['lorem ipsum dolor sit amet.']
+                    ELSE CAST([] AS VARCHAR[]) END),
+               CASE WHEN doc_id % 17 = 0
+                    THEN ['if (x) {{ return 1; }}']
+                    ELSE CAST([] AS VARCHAR[]) END) AS ls
+    FROM dl
+),
+flags AS (
+    SELECT doc_id, ls,
+           contains(lower(array_to_string(ls, chr(10))), 'lorem ipsum')
+               AS has_lorem,
+           contains(array_to_string(ls, chr(10)), '{{') AS has_brace
+    FROM dl2
+),
+lines AS (
+    SELECT doc_id, has_lorem, has_brace,
+           unnest(generate_series(1, len(ls))) AS pos, unnest(ls) AS line
+    FROM flags
+),
+k AS (
+    SELECT doc_id, has_lorem, has_brace, pos, line,
+           (regexp_matches(trim(line), '[.!?"]$')
+            AND len(regexp_split_to_array(trim(line), '\\s+')) >= {min_words}
+            AND NOT contains(lower(line), 'javascript')) AS kept
+    FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+       CAST(sum(CASE WHEN kept
+                     THEN len(regexp_extract_all(trim(line), '[.!?]'))
+                     ELSE 0 END) AS BIGINT) AS n_sentences,
+       has_lorem, has_brace,
+       (CAST(sum(CASE WHEN kept
+                      THEN len(regexp_extract_all(trim(line), '[.!?]'))
+                      ELSE 0 END) AS BIGINT) >= {min_sent}
+        AND NOT has_lorem AND NOT has_brace) AS keep,
+       md5(coalesce(
+           string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos),
+           '')) AS clean_fp
+FROM k GROUP BY doc_id, has_lorem, has_brace
+"""
+
+
 def pii_scrub_sql() -> str:
     """Twin of operators/textstats.py:pii_scrub over the driver row's
     deterministic PII injection: same single-source patterns (RE2 here,
@@ -733,15 +803,13 @@ crawl AS (
 )"""
 
 
-def url_dedup_sql() -> str:
-    """URL canonicalization + crawl dedup twin (operators/urls.py): rebuild
-    the deterministic messy crawl records from ``documents`` (same spelling
-    classes and staggered ts as ``crawl_variants``), apply the identical
-    canonical-form rules step by step in DuckDB SQL, then latest-ts-wins /
-    min-url-tiebreak per canonical url."""
-    return f"""{crawl_ctes()},
-parts AS (
-    SELECT url, ts,
+def _canon_ctes(carry: str = "") -> str:
+    """``parts`` + ``canon`` CTEs applying operators/urls.py:canonical_url
+    rule-for-rule to a relation named ``crawl_in`` with columns
+    ``(url, ts{carry})`` — extra columns named in ``carry`` (e.g. ``", b"``)
+    ride through unchanged."""
+    return f"""parts AS (
+    SELECT url, ts{carry},
            lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
            regexp_replace(lower(regexp_extract(u1, '^[^:/?#]+://([^/?#]*)', 1)),
                           '^www\\.', '') AS host0,
@@ -752,10 +820,11 @@ parts AS (
                x -> x <> '' AND NOT regexp_matches(
                    x, '^(utm_[^=]*|gclid|fbclid|ref|sessionid)(=.*)?$')
            )) AS params
-    FROM (SELECT url, ts, regexp_replace(url, '#.*$', '') AS u1 FROM crawl)
+    FROM (SELECT url, ts{carry}, regexp_replace(url, '#.*$', '') AS u1
+          FROM crawl_in)
 ),
 canon AS (
-    SELECT url, ts,
+    SELECT url, ts{carry},
            scheme || '://'
            || CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
                        THEN regexp_replace(host0, ':80$', '')
@@ -767,7 +836,18 @@ canon AS (
                        THEN '?' || array_to_string(params, '&')
                    ELSE '' END AS canon_url
     FROM parts
-),
+)"""
+
+
+def url_dedup_sql() -> str:
+    """URL canonicalization + crawl dedup twin (operators/urls.py): rebuild
+    the deterministic messy crawl records from ``documents`` (same spelling
+    classes and staggered ts as ``crawl_variants``), apply the identical
+    canonical-form rules step by step in DuckDB SQL, then latest-ts-wins /
+    min-url-tiebreak per canonical url."""
+    return f"""{crawl_ctes()},
+crawl_in AS (SELECT url, ts FROM crawl),
+{_canon_ctes()},
 latest AS (
     SELECT canon_url, max(ts) AS last_ts,
            CAST(count(*) AS BIGINT) AS n_variants
@@ -777,6 +857,49 @@ SELECT c.canon_url, min(c.url) AS url, l.last_ts, l.n_variants
 FROM canon c
 JOIN latest l ON c.canon_url = l.canon_url AND c.ts = l.last_ts
 GROUP BY 1, 3, 4
+"""
+
+
+def streaming_url_dedup_sql() -> str:
+    """Twin of the driver's deterministic two-batch streaming URL-dedup
+    replay (streaming/ingest.py:process_url_batch over crawl_variants split
+    by doc_id parity): recompute every flag from ``documents`` — intra-batch
+    keeper (latest ts, min-url tiebreak) per (batch, canonical url), then
+    batch-1 keepers whose canonical url batch 0 already indexed flag
+    ``vs_history`` against batch 0's keeper. A replay non-idempotence on
+    the Spark side (self-matching, duplicated flags) would hash-mismatch."""
+    return f"""{crawl_ctes()},
+crawl_in AS (SELECT url, ts, doc_id % 2 AS b FROM crawl),
+{_canon_ctes(", b")},
+latest AS (
+    SELECT b, canon_url, max(ts) AS last_ts
+    FROM canon GROUP BY 1, 2
+),
+keeper AS (
+    SELECT c.b, c.canon_url, min(c.url) AS keep_url, l.last_ts
+    FROM canon c
+    JOIN latest l ON c.b = l.b AND c.canon_url = l.canon_url
+                 AND c.ts = l.last_ts
+    GROUP BY 1, 2, 4
+),
+intra AS (
+    SELECT c.url, k.keep_url AS dup_of, c.canon_url,
+           'intra_batch' AS src, c.b AS ingest_batch
+    FROM canon c
+    JOIN keeper k ON c.b = k.b AND c.canon_url = k.canon_url
+    WHERE c.url <> k.keep_url
+),
+recrawl AS (
+    SELECT k.keep_url AS url, h.keep_url AS dup_of, k.canon_url,
+           'vs_history' AS src, 1 AS ingest_batch
+    FROM keeper k
+    JOIN (SELECT canon_url, keep_url FROM keeper WHERE b = 0) h
+      USING (canon_url)
+    WHERE k.b = 1
+)
+SELECT url, dup_of, canon_url, src,
+       CAST(ingest_batch AS BIGINT) AS ingest_batch
+FROM (SELECT * FROM intra UNION ALL SELECT * FROM recrawl)
 """
 
 

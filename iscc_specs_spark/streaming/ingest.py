@@ -272,7 +272,9 @@ def _read_history(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
-def _effective_index_buckets(state_dir: str, requested: int) -> int:
+def _effective_index_buckets(
+    state_dir: str, requested: int, sub: str = "bands"
+) -> int:
     """The band index's ON-DISK bucket count always wins over the caller's
     parameter: ``band_pfx`` partition pruning is only correct when probe
     prefixes are computed with the same modulus the index was written
@@ -286,18 +288,18 @@ def _effective_index_buckets(state_dir: str, requested: int) -> int:
     import json
     import os
 
-    meta = os.path.join(state_dir, "bands", "_INDEX_META.json")
+    meta = os.path.join(state_dir, sub, "_INDEX_META.json")
     if os.path.exists(meta):
         with open(meta) as f:
             return int(json.load(f)["index_buckets"])
     return requested
 
 
-def _record_index_buckets(state_dir: str, n: int) -> None:
+def _record_index_buckets(state_dir: str, n: int, sub: str = "bands") -> None:
     import json
     import os
 
-    meta = os.path.join(state_dir, "bands", "_INDEX_META.json")
+    meta = os.path.join(state_dir, sub, "_INDEX_META.json")
     if not os.path.exists(meta):
         os.makedirs(os.path.dirname(meta), exist_ok=True)
         with open(meta, "w") as f:
@@ -611,3 +613,180 @@ def curate_state(spark: SparkSession, state_dir: str) -> DataFrame:
     )
     clusters = assign_clusters(codes.select("url"), edges)
     return canonical_pick(codes.select("url", "warc_ts"), clusters)
+
+
+# ---------------------------------------------------------------------------
+# Streaming canonical-URL crawl dedup (re-crawl handling)
+# ---------------------------------------------------------------------------
+
+# url_flags state schema (ingest_batch is the partition column); read with
+# the explicit schema for the same empty-partition reason as FLAGS_SCHEMA.
+URL_FLAGS_SCHEMA = (
+    "url string, dup_of string, canon_url string, src string, ingest_batch int"
+)
+
+
+def _url_pfx(buckets: int):
+    return F.pmod(F.xxhash64(F.col("canon_url")), F.lit(buckets)).cast("int")
+
+
+def read_url_flags(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated url-recrawl flags, schema-stable when empty (same
+    contract as :func:`read_dup_flags`)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(URL_FLAGS_SCHEMA).parquet(
+            f"{state_dir}/url_flags"
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], URL_FLAGS_SCHEMA)
+        raise
+
+
+def read_url_index(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    new_pfx: list[int] | None = None,
+) -> DataFrame | None:
+    """Pruned view of the maintained url index for batch ``batch_id``'s
+    re-crawl probe: replay-safe ``ingest_batch < batch_id`` plus a literal
+    ``url_pfx IN (...)`` partition filter when the probe supplies its
+    prefix set (both predicates on partition columns — static pruning,
+    same contract as :func:`read_band_index`). Returns None iff the index
+    does not exist yet (first batch)."""
+    hist = _read_history(spark, f"{state_dir}/urls")
+    if hist is None:
+        return None
+    hist = hist.where(F.col("ingest_batch") < F.lit(batch_id))
+    if new_pfx is not None and "url_pfx" in hist.columns:
+        hist = hist.where(F.col("url_pfx").isin(sorted(new_pfx)))
+    return hist.select("canon_url", "url", "last_ts", "ingest_batch")
+
+
+def process_url_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    url_buckets: int = INDEX_BUCKETS,
+) -> None:
+    """One micro-batch of streaming canonical-URL crawl dedup (the
+    ``foreachBatch`` body, module-level so replay semantics are testable).
+
+    The batch's pages are canonicalized ONCE (codegen projection), then:
+
+      1. within-batch: one keeper per canonical url via the batch
+         operator's rule (latest ``warc_ts``, ties to the smallest url);
+         every other spelling is flagged ``src='intra_batch'`` against the
+         keeper;
+      2. vs history: the keeper set probes the MAINTAINED url index at
+         ``state_dir/urls`` — partitioned (ingest_batch, url_pfx), probed
+         with a literal prefix IN-list exactly like the band index, so
+         probe I/O is bounded by the batch's own prefix coverage, never
+         the index's age. A keeper whose canonical url is already indexed
+         is flagged ``src='vs_history'`` against the EARLIEST indexed
+         spelling (first-arrival wins across batches — a stream cannot
+         retract what it already emitted, so later re-crawls are flagged
+         rather than replacing; the batch plan's latest-wins rule applies
+         when the corpus is re-curated from state);
+      3. this batch's keepers append to the index, flags to
+         ``state_dir/url_flags``, each under its own ``ingest_batch``
+         partition with dynamic overwrite — a replayed batch overwrites
+         itself and (via ``ingest_batch < batch_id`` in the probe) never
+         matches its own prior uncommitted write.
+
+    The bucket modulus is recorded in ``urls/_INDEX_META.json`` on first
+    write and always wins afterwards (same invariant as the band index:
+    a mismatched modulus would silently prune true re-crawl matches).
+    """
+    from iscc_specs_spark.operators.urls import canonical_url, url_dedup
+
+    spark = batch_df.sparkSession
+    url_buckets = _effective_index_buckets(state_dir, url_buckets, sub="urls")
+    _record_index_buckets(state_dir, url_buckets, sub="urls")
+    batch = (
+        batch_df.select("url", "warc_ts")
+        .withColumn("canon_url", canonical_url("url"))
+        .localCheckpoint(eager=True)
+    )
+
+    kept = url_dedup(batch, canon_col="canon_url").localCheckpoint(eager=True)
+    intra = (
+        batch.join(
+            kept.select("canon_url", F.col("url").alias("keep_url")),
+            "canon_url",
+        )
+        .where(F.col("url") != F.col("keep_url"))
+        .select(
+            "url",
+            F.col("keep_url").alias("dup_of"),
+            "canon_url",
+            F.lit("intra_batch").alias("src"),
+        )
+    )
+
+    keeper = kept.withColumn("url_pfx", _url_pfx(url_buckets))
+    new_pfx = sorted(
+        r[0] for r in keeper.select("url_pfx").distinct().collect()
+    )
+    hist = read_url_index(spark, state_dir, batch_id, new_pfx)
+    flags = intra
+    if hist is not None and hist.head(1):
+        first = (
+            hist.groupBy("canon_url")
+            .agg(F.min(F.struct("ingest_batch", "last_ts", "url")).alias("m"))
+            .select("canon_url", F.col("m.url").alias("dup_of"))
+        )
+        recrawl = keeper.join(first, "canon_url").select(
+            "url",
+            "dup_of",
+            "canon_url",
+            F.lit("vs_history").alias("src"),
+        )
+        flags = intra.unionByName(recrawl)
+
+    for df, sub, parts in (
+        (flags, "url_flags", ("ingest_batch",)),
+        (
+            keeper.select("canon_url", "url", "last_ts", "url_pfx"),
+            "urls",
+            ("ingest_batch", "url_pfx"),
+        ),
+    ):
+        (
+            df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(f"{state_dir}/{sub}")
+        )
+
+
+def start_url_dedup_stream(
+    pages_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    url_buckets: int = INDEX_BUCKETS,
+) -> StreamingQuery:
+    """Streaming re-crawl dedup: flag every page whose canonical url was
+    already ingested (or arrives under several spellings in one batch)
+    BEFORE any kernel work — the cheapest duplicate class handled at the
+    door, exactly where the batch curation plan's ⓪a stage sits. Compose
+    by running this stream's flags as a pre-filter for the incremental
+    content-dedup stream, or feed ``read_url_flags`` into curate_state's
+    edge list."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_url_batch(batch_df, batch_id, state_dir, url_buckets)
+
+    writer = (
+        pages_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -249,3 +249,46 @@ def test_pii_scrub(spark):
     # +123 is only 3 digits (< 7) and 1.2.3 has no 4th octet — no matches
     assert got[6]["n_phone"] == 0 and got[6]["n_ipv4"] == 0
     assert got[6]["clean_fp"] == fp("v1.2.3 release +123 grade")
+
+
+def test_c4_filters(spark):
+    import hashlib
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    good = "This is a perfectly fine sentence with many words."
+    rows = [
+        # 0: clean page, 5 kept lines x >=1 sentence each -> keep
+        (0, "\n".join([good] * 5)),
+        # 1: enough sentences but lorem ipsum on the page -> drop
+        (1, "\n".join([good] * 5 + ["footer Lorem Ipsum text here."])),
+        # 2: curly brace -> drop
+        (2, "\n".join([good] * 5 + ["function f() { return 1; }"])),
+        # 3: only 2 sentences -> drop (page rule), lines still reported
+        (3, good + "\nAnother good sentence right here.\nno terminal punct"),
+        # 4: javascript line filtered, two-word line filtered
+        (4, "\n".join([good] * 5 + ["Enable JavaScript now.", "Too short."])),
+        # 5: empty
+        (5, ""),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in T.c4_filters(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[0]["keep"] and got[0]["n_kept_lines"] == 5
+    assert got[0]["n_sentences"] == 5
+    assert got[0]["clean_fp"] == fp("\n".join([good] * 5))
+    assert got[1]["has_lorem"] and not got[1]["keep"]
+    assert got[2]["has_brace"] and not got[2]["keep"]
+    r3 = got[3]
+    assert r3["n_lines"] == 3 and r3["n_kept_lines"] == 2
+    assert r3["n_sentences"] == 2 and not r3["keep"]
+    assert r3["clean_fp"] == fp(good + "\nAnother good sentence right here.")
+    r4 = got[4]
+    # the javascript line and the 2-word line are both filtered out
+    assert r4["n_lines"] == 7 and r4["n_kept_lines"] == 5 and r4["keep"]
+    assert got[5]["n_kept_lines"] == 0 and not got[5]["keep"]
+    assert got[5]["clean_fp"] == fp("")
