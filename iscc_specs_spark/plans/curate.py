@@ -6,7 +6,9 @@ from the engine's operators in the cost-correct order:
 pages → ⓪a optional canonical-URL crawl dedup (CurateConfig.url_dedup):
 the same page under many url spellings collapses to one crawl record,
 latest warc_ts wins — the cheapest duplicate class, removed before even
-the quality projection runs → ⓪ quality gate (narrow native-SQL scoring
+the quality projection runs → ⓪c optional domain gate
+(CurateConfig.domain_min_quality): per-registrable-domain aggregate
+quality drops content farms as whole sites → ⓪ quality gate (narrow native-SQL scoring
 + filter — cheap pruning BEFORE any expensive kernel work) → ⓪b optional benchmark
 decontamination (active when ``run_curation`` receives ``eval_pages``):
 13-gram eval-overlap docs are dropped BEFORE the kernel ever codes them,
@@ -58,6 +60,11 @@ class CurateConfig:
     # page under many spellings (case, www, default port, tracking params,
     # fragments) collapses to one crawl record, latest warc_ts wins
     url_dedup: bool = False
+    # ⓪c optional domain-level gate (RefinedWeb-style): aggregate quality
+    # per registrable domain and drop EVERY page of domains whose average
+    # falls below the threshold — content farms fail as a site, not page
+    # by page. Active when set.
+    domain_min_quality: float | None = None
     min_quality: float = 0.35
     dedup: DedupConfig = field(default_factory=DedupConfig)
     lineage: bool = True
@@ -123,6 +130,31 @@ def run_curation(
             keep_urls = store.write(_url_dedup(pages), "url_keep")
         crawl = pages.join(keep_urls.select("url"), "url", "left_semi")
 
+    # ⓪c optional domain gate: per-domain aggregate quality decides for the
+    # whole site (one exchange on domain + a semi-join back; the stats
+    # table is the audit artifact). Runs after url dedup so re-crawls
+    # don't double-count into a domain's average.
+    if cfg.domain_min_quality is not None:
+        from iscc_specs_spark.operators.urls import (
+            domain_stats,
+            registered_domain,
+        )
+
+        if store.has("domain_stats"):
+            ds = store.read(spark, "domain_stats")
+        else:
+            ds = store.write(domain_stats(crawl), "domain_stats")
+        good = ds.where(
+            F.col("avg_quality") >= cfg.domain_min_quality
+        ).select("domain")
+        gated = (
+            crawl.withColumn("_domain", registered_domain("url"))
+            .join(good, F.col("_domain") == F.col("domain"), "left_semi")
+            .drop("_domain")
+        )
+    else:
+        gated = crawl
+
     # ⓪ quality gate — native SQL, no shuffle; score every page, keep the
     # ones above threshold. Both sides are recorded (kept pages feed the
     # pipeline; the scored table itself is the audit trail).
@@ -130,7 +162,7 @@ def run_curation(
         scored = store.read(spark, "scored")
     else:
         scored = store.write(
-            crawl.join(quality_scores(crawl, id_col="url"), "url"),
+            gated.join(quality_scores(gated, id_col="url"), "url"),
             "scored",
         )
     kept = scored.where(F.col("quality_score") >= cfg.min_quality)
@@ -309,6 +341,9 @@ def run_curation(
 
     n_in = pages.count()
     n_crawl = crawl.count() if cfg.url_dedup else n_in
+    n_dom = (
+        gated.count() if cfg.domain_min_quality is not None else n_crawl
+    )
     n_kept = kept.count()
     n_clean = clean.count() if eval_pages is not None else n_kept
     n_corpus = corpus.count()
@@ -327,7 +362,8 @@ def run_curation(
     metrics = {
         "docs_in": n_in,
         "docs_dropped_url_duplicate": n_in - n_crawl,
-        "docs_dropped_quality": n_crawl - n_kept,
+        "docs_dropped_domain": n_crawl - n_dom,
+        "docs_dropped_quality": n_dom - n_kept,
         "docs_dropped_contaminated": n_kept - n_clean,
         "docs_dropped_duplicate": n_clean - n_corpus,
         "docs_rewritten_substring": sub_rewritten,

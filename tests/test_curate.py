@@ -169,6 +169,55 @@ def test_curation_url_dedup_stage(spark, tmp_path):
     assert again["store"].has("url_keep")
 
 
+def test_curation_domain_gate(spark, tmp_path):
+    """⓪c domain gate: a content-farm domain (several pages, uniformly
+    junk text) is dropped as a whole site, while pages on good domains
+    with the same per-doc quality still reach the per-doc gate."""
+    out = str(tmp_path / "curate_dom")
+    pages = generate_pages(spark, 150, partitions=4)
+    # route every 10th page onto one shared domain and give it junk text
+    # (no stopwords, few tokens -> low quality score)
+    junk = F.element_at(F.split("url", "/"), -1).cast("long") % 10 == 4
+    pages = pages.withColumn(
+        "url",
+        F.when(
+            junk,
+            F.concat(
+                F.lit("https://contentfarm.example/p/"),
+                F.element_at(F.split("url", "/"), -1),
+            ),
+        ).otherwise(F.col("url")),
+    ).withColumn(
+        "text", F.when(junk, F.lit("buy cheap now")).otherwise(F.col("text"))
+    ).localCheckpoint(eager=True)
+    n_junk = pages.where(junk).count()
+    assert n_junk > 1
+
+    cfg = CurateConfig(domain_min_quality=0.31)
+    res = run_curation(spark, pages, out, cfg)
+    m = res["metrics"]
+    assert m["docs_dropped_domain"] == n_junk
+    assert m["docs_in"] == (
+        m["docs_dropped_domain"]
+        + m["docs_dropped_quality"]
+        + m["docs_dropped_duplicate"]
+        + m["docs_out"]
+    )
+    # no farm page anywhere downstream; the stats table is the audit trail
+    assert res["corpus"].where(
+        F.col("url").startswith("https://contentfarm.example/")
+    ).count() == 0
+    ds = res["store"].read(spark, "domain_stats")
+    farm = ds.where(F.col("domain") == "contentfarm.example").collect()
+    assert len(farm) == 1 and farm[0]["avg_quality"] < 0.31
+    assert farm[0]["n_docs"] == n_junk
+
+    # resume: identical re-run reuses the staged stats
+    again = run_curation(spark, pages, out, cfg)
+    assert again["metrics"] == m
+    assert again["store"].has("domain_stats")
+
+
 def test_curation_substring_cut_stage(spark, tmp_path):
     """⑤b ExactSubstr stage: a long passage planted across DIFFERENT
     clusters (so it survives doc-level dedup) is cut keep-first from the
