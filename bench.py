@@ -287,8 +287,11 @@ def run_pipeline_only(
     # reps checkpoint multi-GB block sets, so give the JVM headroom
     # (effective only when this process creates the session, i.e. the
     # --pipeline-only subprocess path)
-    if n_docs >= 1_500_000 and "SPARK_DRIVER_MEM" not in os.environ:
-        os.environ["SPARK_DRIVER_MEM"] = "24g"
+    if "SPARK_DRIVER_MEM" not in os.environ:
+        if n_docs >= 3_000_000:
+            os.environ["SPARK_DRIVER_MEM"] = "32g"
+        elif n_docs >= 1_500_000:
+            os.environ["SPARK_DRIVER_MEM"] = "24g"
 
     # AQE off for this fixed-size benchmark job: AQE's stage-by-stage
     # materialization adds tens of seconds of pure re-planning latency at
@@ -304,7 +307,22 @@ def run_pipeline_only(
     # parallelism varies between runs
     pages = generate_pages(
         spark, n_docs, partitions=128, scale_words=scale_words
-    ).localCheckpoint(eager=True)  # synthesis excluded from the timed job
+    )
+    if n_docs >= 3_000_000:
+        # ≥3M pages the raw text no longer fits the local-mode heap as
+        # deserialized MEMORY_AND_DISK blocks: at 4M docs (~32 GB of page
+        # strings) enough storage stayed pinned under a 24g heap that the
+        # hot-bucket hub broadcast could not build ("Not enough memory to
+        # build and broadcast"). Stage the input serialized on local disk
+        # instead — the heap stays free for execution, and disk-resident
+        # input is the honest at-scale posture anyway (production reads
+        # pages from parquet, not RAM).
+        from pyspark import StorageLevel
+
+        pages = pages.persist(StorageLevel.DISK_ONLY)
+        pages.count()  # materialize: synthesis excluded from the timed job
+    else:
+        pages = pages.localCheckpoint(eager=True)  # synthesis excluded
     compute_codes(pages.limit(64), ("text", "data")).collect()  # warmup
 
     def job():

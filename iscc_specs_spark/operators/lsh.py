@@ -20,6 +20,17 @@ first (reusing the banding shuffle), buckets ≤ cap self-join into pairs,
 oversized buckets connect hub-and-spoke to their min-url member — O(k)
 edges that preserve connectivity for clustering instead of O(k²); every
 capped bucket is observable in the metrics output.
+
+Scale regime note (measured at the 4M-page size point): the simhash track's
+key space is 4 sub-keys × 2^16, so by pigeonhole its AVERAGE bucket crosses
+any fixed cap once n ≳ cap·2^16 (~4.2M pages at cap=64) — every sim bucket
+goes hub-and-spoke and the track's candidate volume becomes a flat ~4 edges
+per page, all exactly verified downstream (correctness unaffected; the
+minhash track, whose 64-bit band keys never saturate, carries the targeted
+recall). At 10^9+ pages the sim track should shard into p permuted tables
+keyed on wider prefixes (Manku et al. 2007's rotation scheme) — table count
+and prefix width are config, not architecture; the banding/bucket/verify
+machinery here is unchanged by that swap.
 """
 
 from __future__ import annotations
