@@ -844,6 +844,57 @@ def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR driver configuration: the target corpus is the deterministic
+# doc_id % 17 == 0 slice of the documents table (a "wiki-like subset"
+# stand-in — any fixed predicate works; the twin re-derives it in SQL)
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_MOD = 17
+_DSIR_K = 50
+
+
+def _dsir_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators import dsir
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    return dsir.dsir_model(
+        spark, docs, target, buckets=_DSIR_BUCKETS, hash_fn="md5"
+    )
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    hashed unigram+bigram LLR model fit on raw=documents vs the
+    deterministic target slice; per-doc log-weight as an exact integer
+    micro-sum (reduction-order-independent). md5 bucket hash so the
+    DuckDB twin refits the model and recomputes every weight from the
+    same table (production hash: xxh64)."""
+    from iscc_specs_spark.operators import dsir
+
+    return dsir.importance_weights(
+        _docs(spark, sf_dir),
+        _dsir_model_df(spark, sf_dir),
+        buckets=_DSIR_BUCKETS,
+        hash_fn="md5",
+    )
+
+
+def _q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance resampling: deterministic weighted
+    sampling without replacement — key = logw + Gumbel(hash(doc_id)),
+    top _DSIR_K kept. TakeOrderedAndProject plan (partial per-partition
+    top-k; plan-gated)."""
+    from iscc_specs_spark.operators import dsir
+
+    return dsir.dsir_sample(
+        _docs(spark, sf_dir),
+        _dsir_model_df(spark, sf_dir),
+        k=_DSIR_K,
+        buckets=_DSIR_BUCKETS,
+        hash_fn="md5",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ISCC pipeline (kernel-backed; oracled via staged codes parquet)
@@ -883,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extracted_text": _q_extracted_text,
         "decontaminate": _q_decontaminate,
         "corpus_sample": _q_corpus_sample,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_topk": _q_dsir_topk,
         "curation_corpus": _q_curation_corpus,
         "curation_funnel": _q_curation_funnel,
         "q1_pricing": _q_q1_pricing,
@@ -1163,6 +1216,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes s USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
         """,
+        "dsir_weights": _o.dsir_weights_sql(_DSIR_BUCKETS, _DSIR_TARGET_MOD),
+        "dsir_topk": _o.dsir_topk_sql(_DSIR_BUCKETS, _DSIR_TARGET_MOD, _DSIR_K),
         "corpus_sample": """
             WITH b AS (
                 SELECT doc_id, lang,

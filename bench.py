@@ -56,6 +56,7 @@ HEADLINE = [
     "fingerprints",
     "decontaminate",
     "corpus_sample",
+    "dsir_topk",
     "url_dedup",
     "domain_stats",
     "multimodal_features",
@@ -147,6 +148,24 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         return fingerprints(entrymod._docs(s, sf_dir_), hash_fn="xxh64")
 
     qs["fingerprints"] = _fingerprints_prod
+
+    # DSIR: bench the production xxh64 feature hash end to end (model fit
+    # + weights + Gumbel-top-k; the driver row pins md5 for the DuckDB
+    # twin). The two bounded model collects are part of the job — at
+    # scale they are ≤ buckets rows each.
+    def _dsir_topk_prod(s, sf_dir_):
+        from iscc_specs_spark.operators import dsir
+
+        docs = entrymod._docs(s, sf_dir_)
+        model = dsir.dsir_model(
+            s, docs, docs.where(F.col("doc_id") % 17 == 0),
+            buckets=4096, hash_fn="xxh64",
+        )
+        return dsir.dsir_sample(
+            docs, model, k=500, buckets=4096, hash_fn="xxh64"
+        )
+
+    qs["dsir_topk"] = _dsir_topk_prod
 
     # image-track throughput: 2k real PNG payloads through the full
     # decode → normalize → DCT-hash kernel in one Arrow pass (the driver

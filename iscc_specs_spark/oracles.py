@@ -1452,6 +1452,100 @@ SELECT url, cluster_id, rn = 1 AS is_canonical FROM canon
 """
 
 
+def _dsir_ctes(buckets: int, target_mod: int) -> str:
+    """Shared CTE chain for the DSIR twins (operators/dsir.py): hashed
+    unigram+bigram counts, Laplace-smoothed log-likelihood-ratio model in
+    integer micro-units, exact-integer per-doc weights.
+
+    Expression-order contract: the llr is computed as
+    ``(ln(c_t+1) − ln(T_t)) − (ln(c_r+1) − ln(T_r))`` then
+    ``floor(x·1000000 + 0.5)`` — the exact operation order of the Python
+    model build (dsir.dsir_model), so the IEEE doubles agree bit-for-bit
+    and the micro ints cannot straddle a floor boundary differently."""
+    return f"""
+WITH d AS (
+    SELECT doc_id, lower(trim(coalesce(text, ''))) AS t FROM documents
+),
+toks AS (
+    SELECT doc_id, string_split_regex(t, '\\s+') AS w FROM d WHERE t != ''
+),
+grams AS (
+    SELECT doc_id, unnest(w) AS feat FROM toks
+    UNION ALL
+    SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                           for i in generate_series(1, len(w) - 1)]) AS feat
+    FROM toks WHERE len(w) >= 2
+),
+fj AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(feat), 1, 8))::UBIGINT % {buckets}
+                AS BIGINT) AS j
+    FROM grams
+),
+doc_counts AS (SELECT doc_id, j, count(*) AS cnt FROM fj GROUP BY 1, 2),
+raw_counts AS (
+    SELECT j, CAST(sum(cnt) AS BIGINT) AS c FROM doc_counts GROUP BY 1
+),
+tgt_counts AS (
+    SELECT j, CAST(sum(cnt) AS BIGINT) AS c FROM doc_counts
+    WHERE doc_id % {target_mod} = 0 GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, {buckets - 1})) AS j),
+totals AS (
+    SELECT (SELECT coalesce(sum(c), 0) FROM raw_counts) + {buckets} AS t_raw,
+           (SELECT coalesce(sum(c), 0) FROM tgt_counts) + {buckets} AS t_tgt
+),
+model AS (
+    SELECT s.j,
+           CAST(floor(((ln(coalesce(tc.c, 0) + 1) - ln(t.t_tgt))
+                     - (ln(coalesce(rc.c, 0) + 1) - ln(t.t_raw)))
+                      * 1000000 + 0.5) AS BIGINT) AS llr_micro
+    FROM spine s CROSS JOIN totals t
+    LEFT JOIN raw_counts rc ON s.j = rc.j
+    LEFT JOIN tgt_counts tc ON s.j = tc.j
+),
+weights AS (
+    SELECT dc.doc_id,
+           CAST(sum(dc.cnt) AS BIGINT) AS n_grams,
+           CAST(sum(dc.cnt * m.llr_micro) AS BIGINT) AS logw_micro
+    FROM doc_counts dc JOIN model m USING (j)
+    GROUP BY 1
+),
+padded AS (
+    SELECT d0.doc_id,
+           coalesce(w.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           coalesce(w.logw_micro, CAST(0 AS BIGINT)) AS logw_micro
+    FROM documents d0 LEFT JOIN weights w USING (doc_id)
+)"""
+
+
+def dsir_weights_sql(buckets: int, target_mod: int) -> str:
+    """Full importance-weight twin: model refit from the documents table,
+    per-doc exact-integer weights, zero-fill for gram-less docs."""
+    return f"""{_dsir_ctes(buckets, target_mod)}
+SELECT doc_id, n_grams, logw_micro FROM padded
+"""
+
+
+def dsir_topk_sql(buckets: int, target_mod: int, k: int) -> str:
+    """Gumbel-top-k twin: same hash-derived uniform
+    ``u = (md5-bucket(doc_id) + 0.5)/1e6`` and key
+    ``logw_micro/1e6 − ln(−ln(u))`` as dsir.gumbel_key, same
+    (key DESC, doc_id) order, LIMIT k."""
+    return f"""{_dsir_ctes(buckets, target_mod)},
+gkey AS (
+    SELECT doc_id, n_grams, logw_micro,
+           logw_micro / 1000000.0 - ln(-ln(
+               (CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                     % 1000000 AS BIGINT) + 0.5) / 1000000.0
+           )) AS key
+    FROM padded
+)
+SELECT doc_id, n_grams, logw_micro FROM gkey
+ORDER BY key DESC, doc_id LIMIT {k}
+"""
+
+
 # --- driver-hash type compatibility -----------------------------------------
 #
 # The driver materializes the DuckDB side with typed (pandas/Arrow) buffers
