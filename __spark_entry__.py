@@ -844,6 +844,37 @@ def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal (operators/textstats.py:
+    compression_stats). The DEFLATE byte counts are staged (the compress
+    call is the non-SQL kernel step, same staged-oracle split as the ISCC
+    codes); the DuckDB twin recomputes ratio + flag from the staged ints.
+    Reading the staged table back keeps the mapInPandas pass at exactly
+    one execution (same pattern as image_codes)."""
+    from iscc_specs_spark.operators.textstats import compression_stats
+
+    out = compression_stats(_docs(spark, sf_dir))
+    _stage(out.select("doc_id", "n_bytes", "z_bytes"), sf_dir, "compression")
+    staged = spark.read.parquet(
+        os.path.join(_stage_dir(sf_dir), "compression")
+    )
+    ratio = F.when(
+        F.col("n_bytes") > 0, F.round(F.col("z_bytes") / F.col("n_bytes"), 6)
+    )
+    from iscc_specs_spark.operators.textstats import COMPRESSION_BOUNDS
+
+    lo, hi = COMPRESSION_BOUNDS
+    return staged.select(
+        "doc_id",
+        "n_bytes",
+        "z_bytes",
+        ratio.alias("compression_ratio"),
+        F.coalesce(
+            (ratio >= F.lit(lo)) & (ratio <= F.lit(hi)), F.lit(False)
+        ).alias("compression_ok"),
+    )
+
+
 # DSIR driver configuration: the target corpus is the deterministic
 # doc_id % 17 == 0 slice of the documents table (a "wiki-like subset"
 # stand-in — any fixed predicate works; the twin re-derives it in SQL)
@@ -929,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "c4_filters": _q_c4_filters,
         "pii_scrub": _q_pii_scrub,
+        "compression_stats": _q_compression_stats,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "extracted_text": _q_extracted_text,
@@ -1008,6 +1040,9 @@ def _CURATION_SEM(stage: str) -> dict:
 
 def oracle_sql() -> dict[str, str]:
     from iscc_specs_spark import oracles as _o
+    from iscc_specs_spark.operators.textstats import (
+        COMPRESSION_BOUNDS as _COMP_BOUNDS,
+    )
 
     # the driver's correctness gate runs at sf0.01; check_oracles.py sets
     # this env var when pointing the harness at another sf dir
@@ -1017,6 +1052,9 @@ def oracle_sql() -> dict[str, str]:
     assets_pq = f"{stage}/assets/*.parquet"
     staged_oracles = {
         "iscc_codes": _o.iscc_codes_sql(codes_pq),
+        "compression_stats": _o.compression_stats_sql(
+            f"{stage}/compression/*.parquet", *_COMP_BOUNDS
+        ),
         "dedup_pairs": _o.dedup_pairs_sql(codes_pq),
         "dedup_clusters": _o.dedup_clusters_sql(codes_pq),
         "lsh_band_stats": _o.lsh_band_stats_sql(codes_pq),

@@ -52,6 +52,7 @@ HEADLINE = [
     "line_dedup",
     "c4_filters",
     "pii_scrub",
+    "compression_stats",
     "language_id",
     "fingerprints",
     "decontaminate",
@@ -148,6 +149,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         return fingerprints(entrymod._docs(s, sf_dir_), hash_fn="xxh64")
 
     qs["fingerprints"] = _fingerprints_prod
+
+    # compression_stats: bench the raw operator (one Arrow pass), not the
+    # driver row's staged-parquet read-back (an oracle artifact that would
+    # make min-of-2 time a parquet scan instead of the DEFLATE pass)
+    def _compression_prod(s, sf_dir_):
+        from iscc_specs_spark.operators.textstats import compression_stats
+
+        return compression_stats(entrymod._docs(s, sf_dir_))
+
+    qs["compression_stats"] = _compression_prod
 
     # DSIR: bench the production xxh64 feature hash end to end (model fit
     # + weights + Gumbel-top-k; the driver row pins md5 for the DuckDB

@@ -426,3 +426,76 @@ def c4_filters(
         ).alias("keep"),
         "clean_fp",
     )
+
+
+# Engine-defined compressibility bounds (documented, oracle-mirrored): a
+# web page whose zlib ratio is very low is near-pure repetition (template
+# spam); a ratio near/above 1.0 is incompressible junk (minified blobs,
+# base64, random strings). MADLAD-400 (Kudugunta et al. 2023) and several
+# CC-pipeline writeups use this class of filter; the exact bounds are a
+# config knob, not a published constant.
+COMPRESSION_BOUNDS = (0.25, 0.95)
+
+
+def compression_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    bounds: tuple[float, float] = COMPRESSION_BOUNDS,
+) -> DataFrame:
+    """zlib-compressibility quality signal: ``(doc_id, n_bytes, z_bytes,
+    compression_ratio, compression_ok)``.
+
+    ``n_bytes`` — UTF-8 length of the text; ``z_bytes`` — length of
+    ``zlib.compress(text, level)``; ratio = z/n rounded to 6 dp (NULL for
+    empty docs, which also fail the flag); ``compression_ok`` iff
+    bounds[0] <= ratio <= bounds[1].
+
+    The compress call is the one non-SQL step (DEFLATE is not expressible
+    in either engine's SQL), so it runs as ONE Arrow-batched
+    ``mapInPandas`` pass emitting two ints per doc — C-call-bound like the
+    image decode kernels, narrow, zero shuffle; every derivation after it
+    (ratio, flag) is native SQL. Determinism: zlib output is a pure
+    function of (bytes, level) for a given zlib build; the DuckDB twin
+    therefore verifies the staged (n_bytes, z_bytes) pair's derivations
+    (ratio arithmetic + flag), the established staged-oracle split
+    (oracles.py module docstring).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": [len(b) for b in raw],
+                    "z_bytes": [len(zlib.compress(b, level)) for b in raw],
+                }
+            )
+
+    lo, hi = bounds
+    stats = docs.select(
+        F.col(id_col), F.col(text_col)
+    ).mapInPandas(run, schema="id long, n_bytes long, z_bytes long")
+    ratio = F.when(
+        F.col("n_bytes") > 0,
+        F.round(F.col("z_bytes") / F.col("n_bytes"), 6),
+    )
+    return stats.select(
+        F.col("id").alias(id_col),
+        "n_bytes",
+        "z_bytes",
+        ratio.alias("compression_ratio"),
+        F.coalesce(
+            (ratio >= F.lit(lo)) & (ratio <= F.lit(hi)), F.lit(False)
+        ).alias("compression_ok"),
+    )

@@ -1452,6 +1452,21 @@ SELECT url, cluster_id, rn = 1 AS is_canonical FROM canon
 """
 
 
+def compression_stats_sql(staged_path: str, lo: float, hi: float) -> str:
+    """Twin of the compression_stats driver row: ratio + bounds flag
+    recomputed from the staged (doc_id, n_bytes, z_bytes) parquet — the
+    DEFLATE counts themselves are the non-SQL kernel step (zlib), pinned
+    by unit tests; everything derivable is re-derived here. DuckDB ``/``
+    on integers is float division (same as Spark's Column ``/``)."""
+    ratio = "CASE WHEN n_bytes > 0 THEN round(z_bytes / n_bytes, 6) END"
+    return f"""
+SELECT doc_id, n_bytes, z_bytes,
+       {ratio} AS compression_ratio,
+       coalesce({ratio} >= {lo} AND {ratio} <= {hi}, false) AS compression_ok
+FROM read_parquet('{staged_path}')
+"""
+
+
 def _dsir_ctes(buckets: int, target_mod: int) -> str:
     """Shared CTE chain for the DSIR twins (operators/dsir.py): hashed
     unigram+bigram counts, Laplace-smoothed log-likelihood-ratio model in

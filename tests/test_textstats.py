@@ -292,3 +292,57 @@ def test_c4_filters(spark):
     assert r4["n_lines"] == 7 and r4["n_kept_lines"] == 5 and r4["keep"]
     assert got[5]["n_kept_lines"] == 0 and not got[5]["keep"]
     assert got[5]["clean_fp"] == fp("")
+
+
+class TestCompressionStats:
+    def _run(self, spark, rows):
+        from iscc_specs_spark.operators.textstats import compression_stats
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r.asDict() for r in compression_stats(df).collect()}
+
+    def test_counts_match_zlib(self, spark):
+        import zlib
+
+        rows = [
+            (1, "The quick brown fox jumps over the lazy dog near the bank."),
+            (2, "spam " * 400),
+            (3, None),
+        ]
+        out = self._run(spark, rows)
+        for doc_id, text in rows:
+            b = (text or "").encode()
+            assert out[doc_id]["n_bytes"] == len(b)
+            assert out[doc_id]["z_bytes"] == len(zlib.compress(b, 6))
+
+    def test_flags(self, spark):
+        import random
+
+        rng = random.Random(7)
+        noise = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(8))
+            for _ in range(300)
+        )
+        prose = " ".join([
+            "Researchers described the method in detail and compared"
+            " results across datasets.",
+            "The committee voted to adopt the proposal after a lengthy"
+            " public discussion.",
+            "Glaciers in the region have retreated steadily over the past"
+            " four decades.",
+            "Her latest novel explores memory, migration, and the meaning"
+            " of home.",
+            "Engineers traced the outage to a misconfigured router in the"
+            " old annex.",
+        ])
+        out = self._run(
+            spark,
+            [(1, "spam " * 400), (2, noise), (3, prose), (4, "")],
+        )
+        assert out[1]["compression_ratio"] < 0.25
+        assert not out[1]["compression_ok"]          # template repetition
+        assert out[2]["compression_ratio"] > 0.6
+        assert out[3]["compression_ok"], out[3]      # normal prose passes
+        assert out[4]["compression_ratio"] is None
+        assert not out[4]["compression_ok"]          # empty doc fails
