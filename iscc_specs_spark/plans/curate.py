@@ -27,7 +27,11 @@ term → ⑥ optional SemDeDup semantic stage
 this stage drops paraphrase-level redundancy the paper shows syntactic
 dedup misses → ⑦ optional stratified mixing sample
 (CurateConfig.sample_fractions): deterministic hash-threshold draw per
-language, the last step because mixing weights apply to the CLEAN corpus.
+language — mixing weights apply to the CLEAN corpus → ⑧ optional DSIR
+selection (CurateConfig.dsir_k + a ``target_pages`` table): the dsir_k
+most target-like documents survive a deterministic Gumbel-top-k draw
+under hashed-n-gram importance weights (operators/dsir.py) — the data-
+selection budget is the very last decision.
 
 Every stage materializes through the same StageStore seam as run_dedup
 (parquet snapshot + manifest + per-stage metrics), so a killed run resumes
@@ -96,6 +100,15 @@ class CurateConfig:
     sample_fractions: dict | None = None
     sample_default: float = 0.0
     sample_hash: str = "xxh64"
+    # ⑧ optional DSIR selection (Xie et al. 2023): keep the dsir_k docs
+    # whose hashed-n-gram profile is most target-like (Gumbel-top-k, i.e.
+    # weighted sampling without replacement). Active when ``run_curation``
+    # receives ``target_pages`` AND dsir_k is set — the target corpus is
+    # external input, like the decontamination benchmark. Runs last: data
+    # selection is a budget decision over the already-clean corpus.
+    dsir_k: int | None = None
+    dsir_buckets: int = 4096
+    dsir_hash: str = "xxh64"
 
 
 def run_curation(
@@ -104,16 +117,26 @@ def run_curation(
     out_dir: str,
     cfg: CurateConfig | None = None,
     eval_pages: DataFrame | None = None,
+    target_pages: DataFrame | None = None,
 ) -> dict:
     """Returns {"corpus": final DataFrame, "metrics": funnel dict, ...}.
 
     ``eval_pages`` (url, text) switches on the ⓪b decontamination gate:
     quality-kept pages sharing any ``cfg.decontam_n``-gram with the eval
-    set are dropped before dedup."""
+    set are dropped before dedup. ``target_pages`` (url, text) plus
+    ``cfg.dsir_k`` switches on the ⑧ DSIR selection stage: only the
+    dsir_k most target-like documents survive."""
     cfg = cfg or CurateConfig()
+    dsir_active = target_pages is not None and bool(cfg.dsir_k)
     store = StageStore(
         out_dir,
-        config_hash({**asdict(cfg), "decontam": eval_pages is not None}),
+        config_hash(
+            {
+                **asdict(cfg),
+                "decontam": eval_pages is not None,
+                "dsir": dsir_active,
+            }
+        ),
         lineage=cfg.lineage,
     )
 
@@ -339,6 +362,45 @@ def run_curation(
                 "corpus_sampled",
             )
 
+    # ⑧ optional DSIR selection: fit the LLR model on (current corpus,
+    # target), keep the dsir_k highest Gumbel-perturbed-weight docs. Model
+    # and selection are staged (the model is the audit artifact: which
+    # feature buckets pulled docs in); the corpus filter is a semi-join.
+    n_mix = None
+    if dsir_active:
+        from iscc_specs_spark.operators import dsir as _dsir
+
+        n_mix = final.count()
+        if store.has("corpus_dsir"):
+            final = store.read(spark, "corpus_dsir")
+        else:
+            model = store.write(
+                _dsir.dsir_model(
+                    spark,
+                    final,
+                    target_pages,
+                    buckets=cfg.dsir_buckets,
+                    id_col="url",
+                    hash_fn=cfg.dsir_hash,
+                ),
+                "dsir_model",
+            )
+            sel = store.write(
+                _dsir.dsir_sample(
+                    final,
+                    model,
+                    k=cfg.dsir_k,
+                    buckets=cfg.dsir_buckets,
+                    id_col="url",
+                    hash_fn=cfg.dsir_hash,
+                ),
+                "dsir_selected",
+            )
+            final = store.write(
+                final.join(sel.select("url"), "url", "left_semi"),
+                "corpus_dsir",
+            )
+
     n_in = pages.count()
     n_crawl = crawl.count() if cfg.url_dedup else n_in
     n_dom = (
@@ -354,10 +416,27 @@ def run_curation(
             F.sum("chars_cut").alias("c"),
         ).collect()[0]
         sub_rewritten, sub_chars_cut = int(row["d"] or 0), int(row["c"] or 0)
-    n_sem = n_sem if n_sem is not None else (
-        final.count() if cfg.semantic else n_corpus
+    # n_sem: docs after the semantic stage; n_mix: docs after the mixing
+    # sample (== before DSIR). Each is counted at the next stage's entry
+    # when that stage is active, else derived without an extra action.
+    if n_mix is not None:
+        # DSIR was active: n_mix was counted at its entry; when sampling
+        # was off nothing dropped between the semantic stage and DSIR, so
+        # the same count serves as n_sem
+        n_sem = n_sem if n_sem is not None else n_mix
+        n_mix_final = n_mix
+    else:
+        n_sem = n_sem if n_sem is not None else (
+            final.count() if cfg.semantic else n_corpus
+        )
+        n_mix_final = (
+            final.count() if cfg.sample_fractions is not None else n_sem
+        )
+    n_out = (
+        final.count()
+        if (cfg.semantic or cfg.sample_fractions or dsir_active)
+        else n_corpus
     )
-    n_out = final.count() if (cfg.semantic or cfg.sample_fractions) else n_corpus
     tokens_out = final.agg(F.sum("n_tokens")).collect()[0][0] or 0
     metrics = {
         "docs_in": n_in,
@@ -369,7 +448,8 @@ def run_curation(
         "docs_rewritten_substring": sub_rewritten,
         "chars_cut_substring": sub_chars_cut,
         "docs_dropped_semantic": n_corpus - n_sem,
-        "docs_dropped_sampling": n_sem - n_out,
+        "docs_dropped_sampling": n_sem - n_mix_final,
+        "docs_dropped_dsir": n_mix_final - n_out,
         "docs_out": n_out,
         "tokens_out": int(tokens_out),
     }

@@ -280,3 +280,37 @@ def test_curation_resumes_from_stages(spark, tmp_path):
     b = sorted(r["url"] for r in second["corpus"].select("url").collect())
     assert a == b
     assert second["store"].has("scored") and second["store"].has("corpus")
+
+
+def test_curation_dsir_stage(spark, tmp_path):
+    """⑧: the DSIR selection keeps exactly dsir_k target-like docs, the
+    funnel gains the dsir drop term, and a re-run resumes the staged
+    selection (same doc set, no refit)."""
+    out = str(tmp_path / "curate_dsir")
+    pages = generate_pages(spark, 200, partitions=4).localCheckpoint(eager=True)
+    target = (
+        pages.where(
+            F.element_at(F.split("url", "/"), -1).cast("long") % 7 == 2
+        )
+        .select("url", "text")
+        .localCheckpoint(eager=True)
+    )
+    cfg = CurateConfig(dsir_k=20, dsir_buckets=256)
+    res = run_curation(spark, pages, out, cfg, target_pages=target)
+    m = res["metrics"]
+
+    assert m["docs_out"] == 20
+    assert m["docs_dropped_dsir"] > 0
+    assert m["docs_in"] == (
+        m["docs_dropped_quality"]
+        + m["docs_dropped_duplicate"]
+        + m["docs_dropped_dsir"]
+        + m["docs_out"]
+    )
+    kept1 = sorted(r["url"] for r in res["corpus"].select("url").collect())
+    assert len(kept1) == 20
+
+    # resume: the staged corpus_dsir is read back, not refit
+    res2 = run_curation(spark, pages, out, cfg, target_pages=target)
+    kept2 = sorted(r["url"] for r in res2["corpus"].select("url").collect())
+    assert kept1 == kept2

@@ -111,6 +111,36 @@ def test_staged_queries_read_from_materialized_codes(plans):
         )
 
 
+def test_dsir_topk_partial_topk_and_broadcast_model(plans):
+    """DSIR's Gumbel-top-k must stay a partial per-partition top-k (no
+    global sort of the corpus), and the B-row model must join in
+    broadcast (never shuffle the doc×bucket counts against it). The only
+    shuffle join allowed is the doc-keyed LeftOuter zero-fill of
+    gram-less docs — corpus vs corpus-sized weights, inherently
+    co-shuffled, skew-free (doc id key)."""
+    txt = plans["dsir_topk"]
+    assert "TakeOrderedAndProject" in txt
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin Inner" not in txt
+    # one LeftOuter node: formatted explain prints it twice (tree + detail)
+    assert txt.count("SortMergeJoin") <= 2
+
+
+def test_compression_stats_single_python_stage(plans):
+    """The DEFLATE pass is ONE narrow mapInPandas over (doc_id, text) —
+    no shuffle, pruned scan. (The driver row reads the staged parquet
+    back, so its plan shows the scan, not the Python stage — gate the
+    scan's schema.)"""
+    schemas = re.findall(
+        r"ReadSchema: struct<(.*?)>", plans["compression_stats"]
+    )
+    assert schemas
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"doc_id", "n_bytes", "z_bytes"}, cols
+    assert "Exchange" not in plans["compression_stats"]
+
+
 def test_ann_topk_uses_window_group_limit(plans):
     """Both ANN top-k entry points rely on Spark's InferWindowGroupLimit to
     turn the per-query `row_number <= k` filter into a partial top-k
