@@ -31,6 +31,15 @@ class DedupConfig:
     cid_max: int = lsh.CID_T_MAX_HAMMING
     sim_max: int = lsh.SIMHASH_MAX_HAMMING
     lineage: bool = True
+    # >0: write the url-keyed stage tables (codes, clusters, canonical)
+    # hash-BUCKETED by url into this many buckets (sources/storage.py
+    # write_bucketed). Every url-equi-join among resumed stages — the
+    # canonical pick's codes ⋈ clusters, any downstream key probe — then
+    # runs exchange-free off the bucketed scans (plan-proved in
+    # tests/test_storage_bucketed.py / test_pipeline.py). Default off:
+    # at benchmark sizes the fixed per-bucket file overhead outweighs the
+    # saved shuffle; at 100 TB bucket counts are sized to the cluster.
+    bucket_by_url: int = 0
 
 
 def lsh_metrics(band_table: DataFrame, bucket_cap: int) -> dict:
@@ -105,11 +114,25 @@ def run_dedup(
     cfg = cfg or DedupConfig()
     store = StageStore(out_dir, config_hash(asdict(cfg)), lineage=cfg.lineage)
 
+    def _write_url_stage(df, name):
+        # url-keyed stages optionally go down bucketed so their mutual
+        # equi-joins never shuffle on resume (DedupConfig.bucket_by_url)
+        if cfg.bucket_by_url:
+            return store.write_bucketed(
+                df, name, key="url", buckets=cfg.bucket_by_url
+            )
+        return store.write(df, name)
+
+    def _read_url_stage(name):
+        if cfg.bucket_by_url:
+            return store.read_bucketed(spark, name)
+        return store.read(spark, name)
+
     # ① codes
     if store.has("codes"):
-        codes = store.read(spark, "codes")
+        codes = _read_url_stage("codes")
     else:
-        codes = store.write(compute_codes(pages, cfg.tracks), "codes")
+        codes = _write_url_stage(compute_codes(pages, cfg.tracks), "codes")
 
     # ② dup pairs
     if store.has("dup_pairs"):
@@ -154,18 +177,20 @@ def run_dedup(
 
     # ③ clusters (+ singleton attach)
     if store.has("clusters"):
-        clusters = store.read(spark, "clusters")
+        clusters = _read_url_stage("clusters")
     else:
-        clusters = store.write(
+        clusters = _write_url_stage(
             assign_clusters(codes.select("url"), pairs), "clusters"
         )
 
     # ④ canonical representative per cluster: keep oldest (warc_ts, url)
-    # (skew-free min_by aggregation — see canonical_pick)
+    # (skew-free min_by aggregation — see canonical_pick; with
+    # bucket_by_url the members join reads two co-bucketed scans and
+    # starts shuffle-free)
     if store.has("canonical"):
-        canonical = store.read(spark, "canonical")
+        canonical = _read_url_stage("canonical")
     else:
-        canonical = store.write(canonical_pick(codes, clusters), "canonical")
+        canonical = _write_url_stage(canonical_pick(codes, clusters), "canonical")
 
     return {
         "codes": codes,

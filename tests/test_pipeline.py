@@ -245,3 +245,43 @@ def test_band_stage_is_bucketed_at_rest(spark, tmp_path):
         assert banned not in plan, plan
     got_pfx = {r["band_pfx"] for r in probe.collect()}
     assert got_pfx and got_pfx <= {1, 2, 3}
+
+
+def test_bucketed_url_stages_same_results_and_no_shuffle_on_resume(
+    spark, tmp_path
+):
+    """DedupConfig.bucket_by_url: identical cluster assignments to the
+    unbucketed run, and the resumed codes ⋈ clusters url-join is
+    exchange-free off the co-bucketed scans."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 400, partitions=4).localCheckpoint(eager=True)
+    plain = run_dedup(spark, pages, str(tmp_path / "plain"))
+    bucketed = run_dedup(
+        spark, pages, str(tmp_path / "bucketed"),
+        DedupConfig(bucket_by_url=8),
+    )
+    want = sorted(map(tuple, plain["clusters"].collect()))
+    got = sorted(map(tuple, bucketed["clusters"].collect()))
+    assert want == got
+
+    # resume: stages come back through read_bucketed with the bucket spec
+    res = run_dedup(
+        spark, pages, str(tmp_path / "bucketed"),
+        DedupConfig(bucket_by_url=8),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = res["codes"].select("url", "cid_body").join(
+            res["clusters"], "url"
+        )
+        txt = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert not re.findall(r"\(\d+\) Exchange\s", txt), txt
+        assert joined.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
