@@ -178,10 +178,11 @@ def importance_weights(
             F.sum("cnt").alias("n_grams"),
             F.sum(F.col("cnt") * F.col("llr_micro")).alias("logw_micro"),
         )
+        .withColumnRenamed("id", "__dsir_id")  # never collides with id_col
     )
     return (
         docs.select(F.col(id_col))
-        .join(per_doc, F.col(id_col) == F.col("id"), "left")
+        .join(per_doc, F.col(id_col) == F.col("__dsir_id"), "left")
         .select(
             id_col,
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
