@@ -516,7 +516,7 @@ def synthetic_assets(
         # key the shape rotation off the per-kind ordinal i//3 (asset ids of
         # one kind are ≡ const mod 3, so i-keyed cycles would alias)
         channels = 1 + (i // 3) % 3
-        n = rate * (500 + 250 * (i % 3)) // 1000  # 0.5-1.0 s
+        n = rate * (500 + 250 * ((i // 3) % 3)) // 1000  # 0.5-1.0 s
         t = np.arange(n, dtype=np.int64)
         p1, p2 = 29 + (i % 13), 61 + (i % 17)
         sig = ((t % p1) * 500 - (t % p2) * 311).astype(np.int16)

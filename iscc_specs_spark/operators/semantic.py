@@ -48,6 +48,14 @@ from iscc_specs_spark.operators.cluster import connected_components
 from iscc_specs_spark.operators.dedup_variants import dot_expr
 
 
+def _safe_cos(dot, denom):
+    """Cosine with a zero-norm guard: a zero vector (token-less doc from
+    featurize_text) is similar-to-nothing → cosine 0.0. Without the guard
+    0.0/0.0 aborts the job under this repo's ANSI-enabled Spark 4 sessions
+    (DIVIDE_BY_ZERO); the oracle twin carries the identical CASE WHEN."""
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
+
+
 def featurize_text(
     docs: DataFrame,
     dim: int = 64,
@@ -159,7 +167,11 @@ def semantic_dedup(
             "v",
             "nrm",
             F.round(
-                dot_expr(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("ncent")), 6
+                _safe_cos(
+                    dot_expr(F.col("v"), F.col("c")),
+                    F.col("nrm") * F.col("ncent"),
+                ),
+                6,
             ).alias("centroid_cos"),
         )
         .localCheckpoint(eager=True)
@@ -184,7 +196,11 @@ def semantic_dedup(
             "vec_a",
             "vec_b",
             F.round(
-                dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                _safe_cos(
+                    dot_expr(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
+                6,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -202,8 +218,8 @@ def semantic_dedup(
         F.coalesce("sem_group", "vec_id").alias("sem_group"),
     )
     # keep-the-novel rule: min over (centroid_cos, vec_id) — centroid_cos
-    # is never NULL (norms are strictly positive for any nonzero vector and
-    # the quantizer centroids are corpus vectors), so Spark's nulls-first
+    # is never NULL (nonzero vectors have strictly positive norms; zero
+    # vectors get 0.0 from the _safe_cos guard), so Spark's nulls-first
     # struct ordering and the oracle's plain ORDER BY agree
     reps = grouped.groupBy("sem_group").agg(
         F.min_by(

@@ -483,9 +483,10 @@ def compression_stats(
             )
 
     lo, hi = bounds
+    id_type = dict(docs.dtypes)[id_col]  # works for long doc_ids AND string urls
     stats = docs.select(
         F.col(id_col), F.col(text_col)
-    ).mapInPandas(run, schema="id long, n_bytes long, z_bytes long")
+    ).mapInPandas(run, schema=f"id {id_type}, n_bytes long, z_bytes long")
     ratio = F.when(
         F.col("n_bytes") > 0,
         F.round(F.col("z_bytes") / F.col("n_bytes"), 6),

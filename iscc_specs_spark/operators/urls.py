@@ -123,6 +123,15 @@ def domain_stats(
         id_col="url",
         keep_cols=("lang",),
     )
+    return domain_rollup(rows)
+
+
+def domain_rollup(rows: DataFrame) -> DataFrame:
+    """The per-domain aggregation of :func:`domain_stats` over ALREADY
+    scored rows ``(url, lang, n_tokens, quality_score)`` — split out so a
+    plan that stages per-doc quality once (plans/curate.py's domain gate)
+    can derive the rollup from the staged table instead of running the
+    full-corpus quality projection a second time."""
     return (
         rows.select(
             registered_domain("url").alias("domain"),

@@ -416,15 +416,23 @@ cent AS (SELECT list_id, CAST(c AS DOUBLE[]) AS c
 asg AS (SELECT vec_id, list_id FROM read_parquet('{asg_path}')),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 m AS (SELECT e.vec_id, asg.list_id, e.v,
-             round(list_dot_product(e.v, cent.c) /
-                   (sqrt(list_dot_product(e.v, e.v)) *
-                    sqrt(list_dot_product(cent.c, cent.c))), 6) AS centroid_cos
+             round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) *
+                             sqrt(list_dot_product(cent.c, cent.c)) = 0
+                        THEN 0.0
+                        ELSE list_dot_product(e.v, cent.c) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(cent.c, cent.c)))
+                   END, 6) AS centroid_cos
       FROM e JOIN asg USING (vec_id) JOIN cent USING (list_id)),
 p AS (SELECT a.vec_id AS u, b.vec_id AS w
       FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-      WHERE round(list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) *
-                   sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}),
+      WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v)) = 0
+                       THEN 0.0
+                       ELSE list_dot_product(a.v, b.v) /
+                            (sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(b.v, b.v)))
+                  END, 6) >= {threshold}),
 sym AS (SELECT u, w FROM p UNION SELECT w AS u, u AS w FROM p),
 cc AS (
     SELECT vec_id, vec_id AS lbl FROM m

@@ -151,22 +151,42 @@ def run_curation(
             keep_urls = store.read(spark, "url_keep")
         else:
             keep_urls = store.write(_url_dedup(pages), "url_keep")
-        crawl = pages.join(keep_urls.select("url"), "url", "left_semi")
+        # semi-join on (url, warc_ts), not url alone: a re-crawl under the
+        # IDENTICAL spelling (same url, newer warc_ts — the most common
+        # class) shares the kept row's url, and a url-only join would keep
+        # every crawl of it. The (url, last_ts) pair pins the one winning
+        # record. (Byte-identical (url, warc_ts) duplicates — a degenerate
+        # input — still pass; the tophash exact stage collapses them.)
+        crawl = pages.join(
+            keep_urls.select("url", F.col("last_ts").alias("warc_ts")),
+            ["url", "warc_ts"],
+            "left_semi",
+        )
 
     # ⓪c optional domain gate: per-domain aggregate quality decides for the
     # whole site (one exchange on domain + a semi-join back; the stats
     # table is the audit artifact). Runs after url dedup so re-crawls
-    # don't double-count into a domain's average.
+    # don't double-count into a domain's average. The full-corpus quality
+    # projection — the most expensive narrow scan in the plan — runs ONCE:
+    # per-doc rows are staged and BOTH the domain rollup and the ⓪ scored
+    # table derive from that one staged table.
     if cfg.domain_min_quality is not None:
         from iscc_specs_spark.operators.urls import (
-            domain_stats,
+            domain_rollup,
             registered_domain,
         )
 
+        if store.has("quality"):
+            qrows = store.read(spark, "quality")
+        else:
+            qrows = store.write(
+                quality_scores(crawl, id_col="url", keep_cols=("lang",)),
+                "quality",
+            )
         if store.has("domain_stats"):
             ds = store.read(spark, "domain_stats")
         else:
-            ds = store.write(domain_stats(crawl), "domain_stats")
+            ds = store.write(domain_rollup(qrows), "domain_stats")
         good = ds.where(
             F.col("avg_quality") >= cfg.domain_min_quality
         ).select("domain")
@@ -176,18 +196,23 @@ def run_curation(
             .drop("_domain")
         )
     else:
+        qrows = None
         gated = crawl
 
     # ⓪ quality gate — native SQL, no shuffle; score every page, keep the
     # ones above threshold. Both sides are recorded (kept pages feed the
-    # pipeline; the scored table itself is the audit trail).
+    # pipeline; the scored table itself is the audit trail). When the
+    # domain gate staged per-doc scores already, reuse them (pure per-row
+    # projection — identical values on the gated subset).
     if store.has("scored"):
         scored = store.read(spark, "scored")
     else:
-        scored = store.write(
-            gated.join(quality_scores(gated, id_col="url"), "url"),
-            "scored",
+        per_doc = (
+            qrows.drop("lang")
+            if qrows is not None
+            else quality_scores(gated, id_col="url")
         )
+        scored = store.write(gated.join(per_doc, "url"), "scored")
     kept = scored.where(F.col("quality_score") >= cfg.min_quality)
 
     # ⓪b optional decontamination gate: the per-doc overlap report is the
@@ -434,7 +459,9 @@ def run_curation(
         )
     n_out = (
         final.count()
-        if (cfg.semantic or cfg.sample_fractions or dsir_active)
+        # `is not None`, matching the stage guard: an EMPTY fractions dict
+        # still runs the sampler (everything at sample_default)
+        if (cfg.semantic or cfg.sample_fractions is not None or dsir_active)
         else n_corpus
     )
     tokens_out = final.agg(F.sum("n_tokens")).collect()[0][0] or 0

@@ -332,14 +332,21 @@ def _migrate_legacy_band_index(
 
     bands = os.path.join(state_dir, "bands")
     staging = os.path.join(state_dir, "bands__migrating")
+    legacy_dir = os.path.join(state_dir, "bands__legacy")
     if not os.path.isdir(bands):
         if os.path.isdir(staging):
             os.rename(staging, bands)  # finish an interrupted swap
+            if os.path.isdir(legacy_dir):
+                shutil.rmtree(legacy_dir)  # crash landed mid-swap: old copy
         return
     hb = _read_history(spark, bands)
     if hb is None or "band_pfx" in hb.columns:
         if os.path.isdir(staging):
             shutil.rmtree(staging)  # stale leftover from a completed swap
+        if os.path.isdir(legacy_dir):
+            # crash landed between the staging→bands rename and the legacy
+            # cleanup: the migrated table is live, drop the old copy
+            shutil.rmtree(legacy_dir)
         return
     if os.path.isdir(staging):
         shutil.rmtree(staging)  # incomplete prior attempt: rebuild
