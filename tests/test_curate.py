@@ -314,3 +314,59 @@ def test_curation_dsir_stage(spark, tmp_path):
     res2 = run_curation(spark, pages, out, cfg, target_pages=target)
     kept2 = sorted(r["url"] for r in res2["corpus"].select("url").collect())
     assert kept1 == kept2
+
+
+def test_curation_url_dedup_same_spelling_recrawl(spark, tmp_path):
+    """⓪a must also collapse re-crawls under the IDENTICAL url spelling
+    (same url, newer warc_ts — the most common re-crawl class). A url-only
+    semi-join would keep every crawl of the page and fan duplicate url
+    keys into every downstream join; the (url, last_ts) pair pins the one
+    winning record."""
+    out = str(tmp_path / "curate_url_same")
+    pages = generate_pages(spark, 120, partitions=4)
+    recrawl = pages.where(
+        F.element_at(F.split("url", "/"), -1).cast("long") % 4 == 2
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 SECOND"))
+    n_re = recrawl.count()
+    assert n_re > 0
+    crawl = pages.unionByName(recrawl).localCheckpoint(eager=True)
+    res = run_curation(spark, crawl, out, CurateConfig(url_dedup=True))
+    m = res["metrics"]
+
+    assert m["docs_in"] == 120 + n_re
+    # every older crawl dropped; the newer one survives per page
+    assert m["docs_dropped_url_duplicate"] == n_re
+    assert m["docs_in"] == (
+        m["docs_dropped_url_duplicate"]
+        + m["docs_dropped_quality"]
+        + m["docs_dropped_duplicate"]
+        + m["docs_out"]
+    )
+    # no duplicate url keys leak past the stage: the scored audit table
+    # has exactly one row per page
+    scored = res["scored"]
+    assert scored.count() == 120
+    assert scored.groupBy("url").count().where(F.col("count") > 1).count() == 0
+
+
+def test_curation_empty_sample_fractions_runs_sampler(spark, tmp_path):
+    """⑦ with sample_fractions={} is a legitimate 'sample every stratum at
+    the default rate' config: the stage must run AND the funnel's docs_out
+    must be the post-sampling count (an empty dict is falsy — the n_out
+    guard must use `is not None`, like the stage guard)."""
+    out = str(tmp_path / "curate_empty_frac")
+    pages = generate_pages(spark, 150, partitions=4).localCheckpoint(eager=True)
+    cfg = CurateConfig(sample_fractions={}, sample_default=0.5)
+    res = run_curation(spark, pages, out, cfg)
+    m = res["metrics"]
+
+    n_final = res["corpus"].count()
+    assert m["docs_out"] == n_final
+    assert m["docs_dropped_sampling"] > 0, "default 0.5 must drop some docs"
+    assert m["docs_dropped_dsir"] == 0
+    assert m["docs_in"] == (
+        m["docs_dropped_quality"]
+        + m["docs_dropped_duplicate"]
+        + m["docs_dropped_sampling"]
+        + m["docs_out"]
+    )

@@ -141,3 +141,28 @@ def test_featurize_text_md5_matches_duckdb_bucketing(spark):
             [t],
         ).fetchone()[0]
         assert got[t] == [want], t
+
+
+def test_semantic_dedup_zero_vector_is_kept_singleton(spark):
+    """A zero vector (what featurize_text emits for a token-less doc) must
+    not abort the job — under this repo's ANSI-enabled sessions an
+    unguarded 0.0/0.0 cosine throws DIVIDE_BY_ZERO. The _safe_cos guard
+    maps its cosines to 0.0, so it survives as a kept singleton that is
+    similar-to-nothing."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 8)
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows += [(4, base[0].tolist())]  # exact copy of vec 0 → one real group
+    rows += [(5, [0.0] * 8)]  # the token-less doc
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.95, k_lists=2, iters=2, dim=8
+        ).collect()
+    }
+    assert len(out) == 6
+    z = out[5]
+    assert z["centroid_cos"] == 0.0
+    assert z["group_size"] == 1 and z["keep"] and z["rep_id"] == 5
+    assert out[0]["sem_group"] == out[4]["sem_group"]

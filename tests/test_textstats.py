@@ -346,3 +346,24 @@ class TestCompressionStats:
         assert out[3]["compression_ok"], out[3]      # normal prose passes
         assert out[4]["compression_ratio"] is None
         assert not out[4]["compression_ok"]          # empty doc fails
+
+
+def test_compression_stats_string_id(spark):
+    """id_col is generic: a url-keyed corpus (the curation plan's shape)
+    must work — the mapInPandas output schema follows the input id type
+    instead of hardcoding `id long`."""
+    import zlib
+
+    from iscc_specs_spark.operators.textstats import compression_stats
+
+    df = spark.createDataFrame(
+        [("https://a.example/p/1", "word " * 50), ("https://a.example/p/2", "x")],
+        "url string, text string",
+    )
+    out = {
+        r["url"]: r.asDict()
+        for r in compression_stats(df, id_col="url").collect()
+    }
+    assert set(out) == {"https://a.example/p/1", "https://a.example/p/2"}
+    b = ("word " * 50).encode()
+    assert out["https://a.example/p/1"]["z_bytes"] == len(zlib.compress(b, 6))
