@@ -178,6 +178,34 @@ def _q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_cut(_docs(spark, sf_dir), min_len=48, anchor="md5")
 
 
+def _q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators.suffixarray import suffix_ranks
+
+    # generalized suffix array (prefix doubling) over a deterministic doc
+    # slice; the oracle's single dense_rank window must land on the same
+    # total order the distributed doubling rounds produce
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 3)
+    return suffix_ranks(docs, max_prefix=64).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "rank"
+    )
+
+
+def _q_sa_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iscc_specs_spark.operators.suffixarray import sa_long_matches
+
+    # exact long-match mining from the suffix array (vs substring_matches'
+    # winnowed probabilistic screen): every span byte-verified by rank
+    # identity at prefix length min_len
+    return sa_long_matches(_docs(spark, sf_dir), min_len=48).select(
+        "doc_a",
+        "doc_b",
+        F.col("a_start").cast("long").alias("a_start"),
+        F.col("b_start").cast("long").alias("b_start"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("match_len").cast("long").alias("match_len"),
+    )
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.urls import crawl_variants, url_dedup
 
@@ -936,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_mixed_cid": _q_cluster_mixed_cid,
         "substring_matches": _q_substring_matches,
         "substring_cut": _q_substring_cut,
+        "suffix_ranks": _q_suffix_ranks,
+        "sa_matches": _q_sa_matches,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
         "multimodal_features": _q_multimodal_features,
@@ -1061,6 +1091,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_mixed_cid": _o.cluster_mixed_cid_sql(codes_pq),
         "substring_matches": _o.substring_matches_sql(min_len=48),
         "substring_cut": _o.substring_cut_sql(min_len=48),
+        "suffix_ranks": _o.suffix_ranks_sql(max_prefix=64, mod=10, rem=3),
+        "sa_matches": _o.sa_matches_sql(min_len=48),
         "url_dedup": _o.url_dedup_sql(),
         "domain_stats": f"""{_o.crawl_ctes()},
             base AS (

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_clusters",
     "substring_matches",
     "substring_cut",
+    "sa_matches_1k",
     # training-data operators
     "exact_dedup",
     "ngram_jaccard",
@@ -209,6 +210,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         )
 
     qs["av_codes_4k"] = _av_codes_4k
+
+    # exact suffix-array long-match mining on a 1k-doc shard: the operator
+    # is the per-shard EXACT instrument (suffixarray.py module header — at
+    # corpus scale it runs inside candidate groups, the winnowed
+    # substring_matches screen covers the full corpus), so the bench shard
+    # mirrors the production call shape instead of the whole table
+    def _sa_matches_1k(s, sf_dir_):
+        from iscc_specs_spark.operators.suffixarray import sa_long_matches
+
+        docs = entrymod._docs(s, sf_dir_).where(F.col("doc_id") % 5 == 0)
+        return sa_long_matches(docs, min_len=48)
+
+    qs["sa_matches_1k"] = _sa_matches_1k
 
     # probe-only IVF/SemDeDup rows: the production posture builds the
     # coarse quantizer ONCE on a sample and broadcasts/stages it (ann.py

@@ -457,6 +457,63 @@ FROM g JOIN reps USING (sem_group) JOIN sizes USING (sem_group)
 """
 
 
+def suffix_ranks_sql(max_prefix: int = 64, mod: int = 10, rem: int = 3) -> str:
+    """Twin of operators/suffixarray.py:suffix_ranks over a deterministic
+    document slice: dense rank of each suffix by its first ``max_prefix``
+    characters is ONE window expression here — the Spark side's prefix-
+    doubling rounds and two-phase distributed dense rank must reproduce the
+    identical total order (both engines compare UTF-8 bytes)."""
+    return f"""
+WITH d AS (
+    SELECT doc_id, coalesce(text, '') AS t FROM documents
+    WHERE doc_id % {mod} = {rem}
+),
+p AS (
+    SELECT doc_id, unnest(generate_series(1, length(t))) AS pos, t FROM d
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(dense_rank() OVER (ORDER BY substring(t, pos, {max_prefix}))
+            AS BIGINT) AS "rank"
+FROM p
+"""
+
+
+def sa_matches_sql(min_len: int = 48, class_cap: int = 64) -> str:
+    """Twin of operators/suffixarray.py:sa_long_matches: the L-prefix rank
+    classes reduce to direct L-gram equality in SQL (equal suffix-array
+    ranks at prefix L ⇔ equal L-grams), then the same class cap,
+    cross-document pairing, and consecutive-position gaps-and-islands
+    span merge."""
+    L = min_len
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+g AS (
+    SELECT doc_id, unnest(generate_series(1, length(t) - {L} + 1)) AS pos, t
+    FROM d WHERE length(t) >= {L}
+),
+gg AS (SELECT doc_id, pos, substring(t, pos, {L}) AS gram FROM g),
+ok AS (SELECT gram FROM gg GROUP BY gram
+       HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= {class_cap}),
+cg AS (SELECT gg.doc_id, gg.pos, gg.gram FROM gg JOIN ok USING (gram)),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS delta
+       FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+isl AS (
+    SELECT doc_a, doc_b, pos_a, pos_b, delta,
+           sum(CASE WHEN prev IS NULL OR pos_a - prev > 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS island
+    FROM (SELECT pr.*, lag(pos_a) OVER (PARTITION BY doc_a, doc_b, delta
+                                        ORDER BY pos_a) AS prev
+          FROM pr)
+)
+SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS a_start,
+       CAST(min(pos_b) AS BIGINT) AS b_start,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(max(pos_a) - min(pos_a) + {L} AS BIGINT) AS match_len
+FROM isl GROUP BY doc_a, doc_b, delta, island
+"""
+
+
 def line_dedup_sql(min_df: int = 2, width: int = 8) -> str:
     """Twin of operators/dedup_variants.py:line_dedup over the driver row's
     deterministic reflow (every ``width`` tokens become one line): same
