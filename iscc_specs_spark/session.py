@@ -33,8 +33,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html BINARY columns: keep Arrow batches bounded (~1k rows * few KB)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html BINARY columns: keep Arrow batches bounded (~1k rows * few KB).
+        # SPARK_GRAFT_ARROW_BATCH tunes burst size per Python channel: this
+        # sandbox's kernel collapsed loopback receive windows under 32
+        # concurrent channels x 16 MB bursts (BENCH.md, 6M-point note) —
+        # smaller batches drain the socket more often and shrink the burst
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
