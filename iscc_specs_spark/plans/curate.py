@@ -21,7 +21,9 @@ cross-document spans ≥ min_len chars (shared boilerplate, quoted
 passages) are cut keep-first from the canonical text and token
 accounting is recomputed — rewrites, not drops, so the funnel records
 ``docs_rewritten_substring``/``chars_cut_substring`` instead of a drop
-term → ⑥ optional SemDeDup semantic stage
+term; ``substring_exact`` swaps the winnowed screen for the suffix-array
+instrument (every span found, byte-verified) → ⑥ optional SemDeDup
+semantic stage
 (CurateConfig.semantic): hashing-trick text embeddings + staged quantizer
 + keep-the-novel per group — the syntactic tracks upstream catch copies,
 this stage drops paraphrase-level redundancy the paper shows syntactic
@@ -94,6 +96,11 @@ class CurateConfig:
     substring_cut: bool = False
     substring_min_len: int = 48
     substring_hash: str = "xxh64"
+    # substring_exact=True swaps the winnowed probabilistic anchor screen
+    # for the suffix-array instrument (operators/suffixarray.py): every
+    # cross-document span >= substring_min_len is found and byte-verified —
+    # the per-shard EXACT posture, quadratic-free but round-heavier
+    substring_exact: bool = False
     # ⑦ optional stratified mixing sample over the final corpus: stratum →
     # fraction (strata absent from the map get sample_default). Same
     # md5-for-oracle / xxh64-production dual as the semantic stage.
@@ -271,9 +278,22 @@ def run_curation(
         if store.has("corpus_cut"):
             corpus = store.read(spark, "corpus_cut")
         else:
+            matches = None
+            if cfg.substring_exact:
+                from iscc_specs_spark.operators.suffixarray import (
+                    sa_long_matches,
+                )
+
+                # the suffix-array instrument finds EVERY cross-document
+                # span >= min_len (no sampling bound); its exact match_len
+                # feeds the same keep-first cut as the screen's lower bound
+                matches = sa_long_matches(
+                    corpus, min_len=cfg.substring_min_len, id_col="url"
+                ).withColumnRenamed("match_len", "match_len_lb")
             cut = store.write(
                 _substring_cut(
                     corpus,
+                    matches=matches,
                     min_len=cfg.substring_min_len,
                     anchor=cfg.substring_hash,
                     id_col="url",

@@ -370,3 +370,44 @@ def test_curation_empty_sample_fractions_runs_sampler(spark, tmp_path):
         + m["docs_dropped_sampling"]
         + m["docs_out"]
     )
+
+
+def test_curation_substring_cut_exact_mode(spark, tmp_path):
+    """⑤b with substring_exact=True: the suffix-array instrument feeds the
+    same keep-first cut. On a planted shared passage the exact mode must
+    remove at least as many characters as the winnowed screen (the screen
+    reports anchor-span lower bounds; the SA match is the full span)."""
+    out_w = str(tmp_path / "cut_winnow")
+    out_x = str(tmp_path / "cut_exact")
+    passage = " ".join(f"sharedrun{i:03d}" for i in range(40))
+    pages = (
+        generate_pages(spark, 150, partitions=4)
+        .withColumn(
+            "text",
+            F.when(
+                F.pmod(F.xxhash64("url"), F.lit(10)) < 2,
+                F.concat_ws(" ", "text", F.lit(passage)),
+            ).otherwise(F.col("text")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mw = run_curation(
+        spark, pages, out_w, CurateConfig(substring_cut=True)
+    )["metrics"]
+    mx = run_curation(
+        spark,
+        pages,
+        out_x,
+        CurateConfig(substring_cut=True, substring_exact=True),
+    )["metrics"]
+
+    assert mx["docs_rewritten_substring"] >= mw["docs_rewritten_substring"]
+    assert mx["chars_cut_substring"] >= mw["chars_cut_substring"]
+    assert mx["docs_rewritten_substring"] > 0
+    # both modes preserve the rewrite-not-drop funnel identity
+    for m in (mw, mx):
+        assert m["docs_in"] == (
+            m["docs_dropped_quality"]
+            + m["docs_dropped_duplicate"]
+            + m["docs_out"]
+        )
