@@ -28,12 +28,14 @@ L characters — equal ranks ⇔ byte-identical L-prefixes. Each round is
     prefix cannot reorder already-distinct suffixes).
 
 :func:`sa_long_matches` then mines exact cross-document matches ≥ L:
-suffixes sharing a rank at prefix length L are grouped (class size capped
-— boilerplate guard, the same skew policy as LSH bucket caps), paired
+suffixes sharing a rank at prefix length L are grouped (classes spanning
+more than class_cap DISTINCT documents are dropped — the same
+document-frequency boilerplate policy as the screen's df_cap), paired
 cross-document, and runs of CONSECUTIVE matching positions at one offset
 delta merge into maximal spans via gaps-and-islands over a bounded
 (doc_a, doc_b, delta) window. Unlike the winnowed screen, every reported
-span is exact and no match ≥ L can be missed.
+span is exact (no sampling bound) and no match ≥ L below the df cap can
+be missed; at equal caps the match set is a superset of the screen's.
 
 100 TB posture: a global suffix array over the full corpus is the
 published sharded pattern (Lee et al. 2022 build per-shard suffix arrays
@@ -52,9 +54,14 @@ DEFAULT_MIN_LEN = 64     # report exact matches at least this long
 DEFAULT_CLASS_CAP = 64   # drop rank classes larger than this (boilerplate)
 
 
-def _global_dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
+def _global_dense_rank(
+    df: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, int, int]:
     """Replace ``key_cols`` with one global dense ``rank`` column (1-based,
-    ascending in key order), keeping all other columns.
+    ascending in key order), keeping all other columns. Returns
+    ``(ranked, n_rows, n_distinct)`` — the totals fall out of the same
+    per-partition aggregate the prefix sum needs, so the caller's
+    all-distinct early exit costs no extra job.
 
     Two-phase distributed ranking: range-repartition on the key (Spark's
     RangePartitioner sends equal keys to one partition and orders ranges by
@@ -62,7 +69,10 @@ def _global_dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
     distinct-key counts + per-partition dense_rank. The pid column is
     frozen with a localCheckpoint so the offset aggregate and the window
     see the identical partitioning (AQE may otherwise re-plan the exchange
-    between the two executions of a lazy subtree)."""
+    between the two executions of a lazy subtree); the RANKED output is
+    checkpointed too because every consumer reads it more than once (both
+    branches of the next round's self-join) and the pid-window sort is the
+    round's dominant cost — a lazy tail would re-run it per reference."""
     spark = df.sparkSession
     keyed = (
         df.repartitionByRange(*[F.col(c) for c in key_cols])
@@ -71,21 +81,27 @@ def _global_dense_rank(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
     counts = (
         keyed.groupBy("_pid")
-        .agg(F.count_distinct(*[F.col(c) for c in key_cols]).alias("m"))
+        .agg(
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("m"),
+            F.count("*").alias("n"),
+        )
         .collect()
     )
-    off, offsets = 0, []
+    off, offsets, n_rows = 0, [], 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((r["_pid"], off))
         off += r["m"]
+        n_rows += r["n"]
     off_df = spark.createDataFrame(offsets, schema="_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
-    return (
+    ranked = (
         keyed.withColumn("_lr", F.dense_rank().over(w))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("rank", (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off", *key_cols)
+        .localCheckpoint(eager=True)
     )
+    return ranked, n_rows, off
 
 
 def suffix_ranks(
@@ -129,10 +145,10 @@ def suffix_ranks(
         "pos",
         F.substring(F.col("_t"), F.col("pos"), base_w).alias("_c"),
     )
-    sa = _global_dense_rank(base, ["_c"])
+    sa, n_rows, n_distinct = _global_dense_rank(base, ["_c"])
 
     covered = base_w
-    while covered < max_prefix:
+    while covered < max_prefix and n_distinct < n_rows:
         step = min(covered, max_prefix - covered)
         partner = sa.select(
             "doc_id",
@@ -144,13 +160,11 @@ def suffix_ranks(
             .withColumn("_r2", F.coalesce("_r2", F.lit(-1)))
             .withColumnRenamed("rank", "_r1")
         )
-        sa = _global_dense_rank(joined, ["_r1", "_r2"])
+        sa, n_rows, n_distinct = _global_dense_rank(joined, ["_r1", "_r2"])
         covered += step
-        agg = sa.agg(
-            F.count("*").alias("n"), F.max("rank").alias("mx")
-        ).collect()[0]
-        if agg["n"] == agg["mx"]:
-            break  # all suffixes already distinct: further rounds are no-ops
+        # all-distinct ⇒ further rounds are no-ops (extending a prefix
+        # cannot reorder already-distinct suffixes) — checked from the
+        # counts the rank pass already collected, zero extra actions
     return sa.select("doc_id", "pos", "rank")
 
 
@@ -166,9 +180,11 @@ def sa_long_matches(
     row per maximal span per (pair, offset delta).
 
     Every suffix long enough to hold ``min_len`` characters is classed by
-    its L-prefix rank; classes larger than ``class_cap`` documents are
-    dropped (boilerplate guard — identical skew policy to the LSH bucket
-    cap). Within a class, cross-document position pairs at one delta whose
+    its L-prefix rank; classes spanning more than ``class_cap`` DISTINCT
+    documents are dropped (boilerplate guard — the same document-frequency
+    policy as the winnowed screen's df_cap, so at equal caps this exact
+    mode reports a superset of the screen's matches). Within a class,
+    cross-document position pairs at one delta whose
     positions are CONSECUTIVE chain into a maximal exact span of length
     (run − 1) + L: every L-window inside the span matched, so the whole
     span is byte-identical — no sampling bound, unlike substring_matches.
@@ -188,13 +204,18 @@ def sa_long_matches(
         .select("doc_id", "pos", "rank")
         .localCheckpoint(eager=True)
     )
-    sizes = eligible.groupBy("rank").agg(
-        F.count("*").alias("_m"), F.count_distinct("doc_id").alias("_d")
-    )
+    sizes = eligible.groupBy("rank").agg(F.count_distinct("doc_id").alias("_d"))
+    # cap on DISTINCT DOCUMENTS — the identical document-frequency policy
+    # as the winnowed screen's df_cap (substring.py), so at equal caps the
+    # exact instrument's match set is a superset of the screen's. Within a
+    # surviving class the occurrence count is data-dependent (a passage
+    # repeated k times inside one doc contributes k suffixes) — the same
+    # per-doc-repetition exposure the screen has, bounded upstream by the
+    # curation plan's repetition/quality gates.
     # broadcast: the surviving-class list is small by construction (every
-    # class holds ≥2 docs and ≤ class_cap suffixes) and the checkpointed
+    # class spans ≥2 and ≤ class_cap documents) and the checkpointed
     # eligible table carries no Catalyst stats, so Catalyst would SMJ it
-    ok = sizes.where((F.col("_d") >= 2) & (F.col("_m") <= class_cap)).select("rank")
+    ok = sizes.where((F.col("_d") >= 2) & (F.col("_d") <= class_cap)).select("rank")
     # materialize: both sides of the pair self-join consume classed — lazy,
     # the class-size aggregate would run once per side
     classed = eligible.join(F.broadcast(ok), "rank").localCheckpoint(eager=True)

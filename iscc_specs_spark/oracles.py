@@ -481,9 +481,9 @@ FROM p
 def sa_matches_sql(min_len: int = 48, class_cap: int = 64) -> str:
     """Twin of operators/suffixarray.py:sa_long_matches: the L-prefix rank
     classes reduce to direct L-gram equality in SQL (equal suffix-array
-    ranks at prefix L ⇔ equal L-grams), then the same class cap,
-    cross-document pairing, and consecutive-position gaps-and-islands
-    span merge."""
+    ranks at prefix L ⇔ equal L-grams), then the same distinct-document
+    class cap, cross-document pairing, and consecutive-position
+    gaps-and-islands span merge."""
     L = min_len
     return f"""
 WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
@@ -493,7 +493,7 @@ g AS (
 ),
 gg AS (SELECT doc_id, pos, substring(t, pos, {L}) AS gram FROM g),
 ok AS (SELECT gram FROM gg GROUP BY gram
-       HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= {class_cap}),
+       HAVING count(DISTINCT doc_id) BETWEEN 2 AND {class_cap}),
 cg AS (SELECT gg.doc_id, gg.pos, gg.gram FROM gg JOIN ok USING (gram)),
 pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS delta

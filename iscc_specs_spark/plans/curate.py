@@ -284,9 +284,11 @@ def run_curation(
                     sa_long_matches,
                 )
 
-                # the suffix-array instrument finds EVERY cross-document
-                # span >= min_len (no sampling bound); its exact match_len
-                # feeds the same keep-first cut as the screen's lower bound
+                # the suffix-array instrument finds every cross-document
+                # span >= min_len below the distinct-document class cap
+                # (no sampling bound — same df policy as the screen); its
+                # exact match_len feeds the same keep-first cut as the
+                # screen's lower bound
                 matches = sa_long_matches(
                     corpus, min_len=cfg.substring_min_len, id_col="url"
                 ).withColumnRenamed("match_len", "match_len_lb")

@@ -98,16 +98,35 @@ def test_class_cap_drops_boilerplate(spark):
 
 
 def test_partition_invariance(corpus):
+    """max_prefix values on BOTH sides of the 8-char base round: 6 stays in
+    the base rank, 12 forces a doubling round over the (_r1,_r2) long keys
+    — the range-boundary-sensitive path must be layout-invariant too."""
     df, _ = corpus
-    one = {
-        (r["doc_id"], r["pos"]): r["rank"]
-        for r in suffix_ranks(df.coalesce(1), max_prefix=6).collect()
-    }
-    many = {
-        (r["doc_id"], r["pos"]): r["rank"]
-        for r in suffix_ranks(df.repartition(7), max_prefix=6).collect()
-    }
-    assert one == many
+    for L in (6, 12):
+        one = {
+            (r["doc_id"], r["pos"]): r["rank"]
+            for r in suffix_ranks(df.coalesce(1), max_prefix=L).collect()
+        }
+        many = {
+            (r["doc_id"], r["pos"]): r["rank"]
+            for r in suffix_ranks(df.repartition(7), max_prefix=L).collect()
+        }
+        assert one == many, f"max_prefix={L}"
+
+
+def test_class_cap_counts_documents_not_occurrences(spark):
+    """The cap is a DOCUMENT-frequency policy (same as the screen's
+    df_cap): a passage repeated many times inside each of two docs keeps
+    its matches even when the class's occurrence count exceeds the cap."""
+    passage = "an unusual passage that repeats inside both documents! "
+    docs = spark.createDataFrame(
+        [(1, passage * 10), (2, "prefix " + passage * 10)],
+        "doc_id long, text string",
+    )
+    out = sa_long_matches(docs, min_len=len(passage), class_cap=4).collect()
+    assert out, "2-doc class must survive a cap of 4 despite 20+ occurrences"
+    # the longest reported span covers the full repeated region
+    assert max(r["match_len"] for r in out) == 10 * len(passage)
 
 
 def test_unicode_and_null_text(spark):
