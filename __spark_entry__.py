@@ -455,6 +455,16 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate phrase discovery
+    (operators/textstats.py:hot_ngrams): top word 5-grams by total count
+    across ≥2 documents — the near-dup clusters' shared passages surface
+    here. Deterministic total order (n_total DESC, gram) on both engines."""
+    from iscc_specs_spark.operators.textstats import hot_ngrams
+
+    return hot_ngrams(_docs(spark, sf_dir), n=5, top_k=100, min_docs=2)
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate line removal
     (operators/dedup_variants.py:line_dedup). The synthetic corpus has no
@@ -987,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
+        "hot_ngrams": _q_hot_ngrams,
         "line_dedup": _q_line_dedup,
         "c4_filters": _q_c4_filters,
         "pii_scrub": _q_pii_scrub,
@@ -1349,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
             FROM feats
         """,
         "repetition_stats": _o.repetition_stats_sql(),
+        "hot_ngrams": _o.hot_ngrams_sql(n=5, top_k=100, min_docs=2),
         "line_dedup": _o.line_dedup_sql(min_df=2, width=8),
         "c4_filters": _o.c4_filters_sql(width=8),
         "pii_scrub": _o.pii_scrub_sql(),

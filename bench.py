@@ -50,6 +50,7 @@ HEADLINE = [
     "token_counts",
     "quality_scores",
     "repetition_stats",
+    "hot_ngrams",
     "line_dedup",
     "c4_filters",
     "pii_scrub",

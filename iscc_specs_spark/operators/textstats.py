@@ -301,6 +301,61 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out.select("doc_id", *filled, ok.alias("repetition_ok"))
 
 
+def hot_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    top_k: int = 100,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most frequent word ``n``-grams — ``(gram, n_total,
+    n_docs)``, the ``top_k`` grams by total occurrence count (ties broken
+    by gram text, a total order). The standard boilerplate-DISCOVERY
+    report: where line_dedup and the class caps *apply* a known-boilerplate
+    policy, this is how the filter lists get built in the first place
+    (cookie banners, licence headers, template chrome surface at the top).
+    ``min_docs`` prunes grams confined to fewer documents (within-doc
+    repetition is repetition_stats' job).
+
+    Scale: tokens explode once; grams ride the same per-document window
+    ``lead`` + ``concat_ws`` whole-stage-codegen pattern as
+    repetition_stats (HOF ``transform`` is interpreted per element — the
+    documented 10× trap). Two aggregation exchanges, BOTH skew-free under
+    map-side partial aggregation: (gram, doc_id) collapses per-doc
+    occurrences, then gram alone sums totals — partial agg caps any single
+    gram's exchange rows at one per upstream partition, so a viral
+    boilerplate gram cannot hot-spot the shuffle. Top-k compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of top_k
+    rows), never a global sort or unpartitioned window.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens()).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)],
+    )
+    gram = F.concat_ws(" ", *[F.col(f"t{k}") for k in range(n)])
+    grams = leads.where(F.col(f"t{n - 1}").isNotNull()).select(
+        "doc_id", gram.alias("gram")
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count("*").alias("cnt"))
+    agg = per_doc.groupBy("gram").agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return (
+        agg.where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_total").desc(), F.col("gram"))
+        .limit(top_k)
+    )
+
+
 # PII surface patterns chosen for identical semantics under Java regex
 # (Spark) and RE2 (DuckDB): no backreferences, no lookaround, ASCII \b.
 # Replacement order is list order; replacement tokens contain no digits or

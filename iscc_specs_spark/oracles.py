@@ -514,6 +514,35 @@ FROM isl GROUP BY doc_a, doc_b, delta, island
 """
 
 
+def hot_ngrams_sql(n: int = 5, top_k: int = 100, min_docs: int = 2) -> str:
+    """Twin of operators/textstats.py:hot_ngrams: same whitespace
+    tokenization (with DuckDB's ['']-for-empty split quirk exempted, as in
+    repetition_stats_sql), same per-doc collapse then corpus totals, same
+    (n_total DESC, gram) total order and top-k cut. Integer sums CAST to
+    BIGINT (DuckDB HUGEINT materializes as float64 and breaks the driver's
+    value hash — the line_dedup round-5 lesson)."""
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                   for i in generate_series(1, greatest(len(toks)-{n}+1, 0))]) AS gram
+    FROM d WHERE len(toks) >= {n} AND NOT (len(toks) = 1 AND toks[1] = '')
+),
+pd AS (SELECT gram, doc_id, count(*) AS cnt FROM g GROUP BY gram, doc_id),
+agg AS (SELECT gram, CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pd GROUP BY gram)
+SELECT gram, n_total, n_docs FROM agg
+WHERE n_docs >= {min_docs}
+ORDER BY n_total DESC, gram
+LIMIT {top_k}
+"""
+
+
 def line_dedup_sql(min_df: int = 2, width: int = 8) -> str:
     """Twin of operators/dedup_variants.py:line_dedup over the driver row's
     deterministic reflow (every ``width`` tokens become one line): same

@@ -58,6 +58,13 @@ def test_top_customers_partial_topk(plans):
     assert "TakeOrderedAndProject" in plans["top_customers"]
 
 
+def test_hot_ngrams_partial_topk(plans):
+    """Corpus top-k must be a per-partition heap + driver merge, never a
+    global sort or an unpartitioned window."""
+    assert "TakeOrderedAndProject" in plans["hot_ngrams"]
+    assert "WindowExec" not in plans["hot_ngrams"]
+
+
 def test_narrow_scans_are_pruned(plans):
     # token_counts must read only (doc_id, text) from documents
     schemas = re.findall(r"ReadSchema: struct<(.*?)>", plans["token_counts"])

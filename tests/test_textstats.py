@@ -367,3 +367,52 @@ def test_compression_stats_string_id(spark):
     assert set(out) == {"https://a.example/p/1", "https://a.example/p/2"}
     b = ("word " * 50).encode()
     assert out["https://a.example/p/1"]["z_bytes"] == len(zlib.compress(b, 6))
+
+
+def test_hot_ngrams_counts_and_order(spark):
+    """Corpus-wide top n-grams: exact totals/doc-frequencies, min_docs
+    pruning, and the deterministic (n_total DESC, gram) order the DuckDB
+    twin must reproduce at the top-k cut."""
+    from iscc_specs_spark.operators.textstats import hot_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "accept all cookies to continue reading this site"),
+            (2, "please accept all cookies to continue reading now"),
+            (3, "accept all cookies to continue reading please"),
+            (4, "a private phrase repeated here a private phrase repeated here"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = hot_ngrams(docs, n=5, top_k=10, min_docs=2).collect()
+    got = {r["gram"]: (r["n_total"], r["n_docs"]) for r in rows}
+    # the banner 5-gram spans docs 1-3; doc 4's repeat is single-doc → pruned
+    assert got["accept all cookies to continue"] == (3, 3)
+    assert got["all cookies to continue reading"] == (3, 3)
+    assert "a private phrase repeated here" not in got
+    # order: count desc, then gram text asc
+    keys = [(r["n_total"], r["gram"]) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    # min_docs=1 admits the single-doc repeat with its within-doc count
+    solo = {
+        r["gram"]: (r["n_total"], r["n_docs"])
+        for r in hot_ngrams(docs, n=5, top_k=50, min_docs=1).collect()
+    }
+    assert solo["a private phrase repeated here"] == (2, 1)
+
+
+def test_hot_ngrams_unigram_edge(spark):
+    from iscc_specs_spark.operators.textstats import hot_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["gram"]: (r["n_total"], r["n_docs"])
+        for r in hot_ngrams(docs, n=1, top_k=5, min_docs=1).collect()
+    }
+    assert got["alpha"] == (3, 2)
+    assert got["beta"] == (1, 1)
