@@ -85,8 +85,8 @@ def test_no_match_below_min_len(corpus):
 
 
 def test_class_cap_drops_boilerplate(spark):
-    """A gram shared by more suffixes than class_cap is dropped entirely —
-    the boilerplate guard, mirroring the LSH bucket-cap policy."""
+    """A gram shared by more documents than class_cap is dropped entirely —
+    the boilerplate guard, mirroring the screen's df_cap policy."""
     boiler = "this exact boilerplate line appears everywhere"
     docs = spark.createDataFrame(
         [(i, f"doc {i} says: {boiler}") for i in range(10)],
@@ -141,3 +141,37 @@ def test_unicode_and_null_text(spark):
     assert got == _brute_ranks(texts)
     m = sa_long_matches(docs, min_len=11).collect()
     assert [(r["doc_a"], r["doc_b"], r["match_len"]) for r in m] == [(1, 3, 11)]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis not installed")
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", max_size=40), min_size=1, max_size=5
+    ),
+    max_prefix=st.sampled_from([None, 3, 10]),
+)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_suffix_ranks_property(spark, texts, max_prefix):
+    """Random corpora over a 3-char alphabet (maximal rank collisions — the
+    adversarial regime for prefix doubling: long runs of equal ranks
+    survive many rounds) must match the brute-force generalized SA at
+    full-suffix AND truncated-prefix comparison, across the 8-char base
+    boundary (max_prefix=10 forces a doubling round; 3 stays in base)."""
+    docs = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    ).repartition(3)
+    got = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(df, max_prefix=max_prefix).collect()
+    }
+    assert got == _brute_ranks(docs, max_prefix)
