@@ -1518,8 +1518,12 @@ def streaming_canonical_sql(codes_glob: str, flags_glob: str) -> str:
     cluster — all recomputed independently in DuckDB."""
     return f"""
 WITH RECURSIVE codes AS (
-    SELECT url, warc_ts
+    -- one row per url even when re-crawls landed a codes row per batch
+    -- (mirrors curate_state's pre-clustering collapse; min() skips NULLs
+    -- identically in both engines)
+    SELECT url, min(warc_ts) AS warc_ts
     FROM read_parquet('{codes_glob}', hive_partitioning = 1)
+    GROUP BY url
 ),
 flags AS (
     SELECT url, dup_of

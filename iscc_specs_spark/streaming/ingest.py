@@ -82,16 +82,26 @@ def read_pages_stream(
     )
 
 
-def start_codes_stream(
-    pages_stream: DataFrame,
-    out_dir: str,
-    checkpoint_dir: str,
-    tracks: tuple[str, ...] = ("text", "data"),
-    trigger_once: bool = True,
+def _start_stream(
+    df: DataFrame, sink, checkpoint_dir: str, trigger_once: bool
 ) -> StreamingQuery:
-    """pages stream → codes table, exactly-once via checkpoint + per-batch
-    partition overwrite."""
-    codes = compute_codes(pages_stream, tracks)
+    """Shared writeStream scaffolding for every track — append mode,
+    checkpointed ``foreachBatch``, optional run-to-completion trigger —
+    in ONE place so exactly-once wiring cannot diverge between tracks."""
+    writer = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _partition_overwrite_sink(out_dir: str):
+    """``foreachBatch`` body shared by the three codes tracks: exactly-once
+    via per-batch ``ingest_batch`` dynamic partition overwrite (a replayed
+    batch overwrites its own partition)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -102,14 +112,22 @@ def start_codes_stream(
             .parquet(out_dir)
         )
 
-    writer = (
-        codes.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
+    return sink
+
+
+def start_codes_stream(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    tracks: tuple[str, ...] = ("text", "data"),
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """pages stream → codes table, exactly-once via checkpoint + per-batch
+    partition overwrite."""
+    codes = compute_codes(pages_stream, tracks)
+    return _start_stream(
+        codes, _partition_overwrite_sink(out_dir), checkpoint_dir, trigger_once
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_assets_stream(
@@ -141,25 +159,12 @@ def start_image_codes_stream(
     overwrite, so a replayed batch overwrites itself."""
     from iscc_specs_spark.operators.multimodal import image_codes
 
-    codes = image_codes(assets_stream)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(out_dir)
-        )
-
-    writer = (
-        codes.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
+    return _start_stream(
+        image_codes(assets_stream),
+        _partition_overwrite_sink(out_dir),
+        checkpoint_dir,
+        trigger_once,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def start_av_codes_stream(
@@ -176,25 +181,12 @@ def start_av_codes_stream(
     overwrite, so a replayed batch overwrites itself."""
     from iscc_specs_spark.operators.multimodal import av_codes
 
-    codes = av_codes(assets_stream)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(out_dir)
-        )
-
-    writer = (
-        codes.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
+    return _start_stream(
+        av_codes(assets_stream),
+        _partition_overwrite_sink(out_dir),
+        checkpoint_dir,
+        trigger_once,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def start_incremental_dedup_stream(
@@ -241,14 +233,7 @@ def start_incremental_dedup_stream(
             batch_df, batch_id, state_dir, bucket_cap, index_buckets
         )
 
-    writer = (
-        codes_stream.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
-    )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_stream(codes_stream, sink, checkpoint_dir, trigger_once)
 
 
 def _read_history(spark: SparkSession, path: str) -> DataFrame | None:
@@ -302,8 +287,13 @@ def _record_index_buckets(state_dir: str, n: int, sub: str = "bands") -> None:
     meta = os.path.join(state_dir, sub, "_INDEX_META.json")
     if not os.path.exists(meta):
         os.makedirs(os.path.dirname(meta), exist_ok=True)
-        with open(meta, "w") as f:
+        # atomic: a crash mid-write must not leave a truncated JSON file —
+        # _effective_index_buckets would raise on EVERY later batch (the
+        # one crash window with no self-healing path)
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"index_buckets": n}, f)
+        os.replace(tmp, meta)
 
 
 def _migrate_legacy_band_index(
@@ -333,14 +323,36 @@ def _migrate_legacy_band_index(
     bands = os.path.join(state_dir, "bands")
     staging = os.path.join(state_dir, "bands__migrating")
     legacy_dir = os.path.join(state_dir, "bands__legacy")
+    # staging is COMPLETE iff its meta file exists: the meta is written
+    # (atomically) only after the parquet write finishes, so its presence
+    # marks a fully-built copy — an incomplete staging must never be
+    # renamed into place (a partial index would silently drop true matches)
+    staging_done = os.path.exists(os.path.join(staging, "_INDEX_META.json"))
     if not os.path.isdir(bands):
         if os.path.isdir(staging):
-            os.rename(staging, bands)  # finish an interrupted swap
-            if os.path.isdir(legacy_dir):
-                shutil.rmtree(legacy_dir)  # crash landed mid-swap: old copy
+            if staging_done:
+                os.rename(staging, bands)  # finish an interrupted swap
+            else:
+                shutil.rmtree(staging)  # partial build: backfill rebuilds
+        if os.path.isdir(legacy_dir):
+            shutil.rmtree(legacy_dir)  # crash landed mid-swap: old copy
         return
     hb = _read_history(spark, bands)
-    if hb is None or "band_pfx" in hb.columns:
+    if hb is None:
+        # bands/ exists but holds no readable data (e.g. a meta-only dir
+        # left by a crashed first batch). If a COMPLETE staged copy exists,
+        # finish the swap instead of letting the codes-backfill path
+        # rebuild the whole index from scratch.
+        if os.path.isdir(staging):
+            if staging_done:
+                shutil.rmtree(bands)
+                os.rename(staging, bands)
+            else:
+                shutil.rmtree(staging)
+        if os.path.isdir(legacy_dir):
+            shutil.rmtree(legacy_dir)
+        return
+    if "band_pfx" in hb.columns:
         if os.path.isdir(staging):
             shutil.rmtree(staging)  # stale leftover from a completed swap
         if os.path.isdir(legacy_dir):
@@ -350,21 +362,28 @@ def _migrate_legacy_band_index(
         return
     if os.path.isdir(staging):
         shutil.rmtree(staging)  # incomplete prior attempt: rebuild
+    # a legacy-layout dir can still carry a meta (a crash between the old
+    # record-meta-first ordering's two steps): the recorded modulus wins
+    # over the parameter, same invariant as the probe path
+    index_buckets = _effective_index_buckets(state_dir, index_buckets)
     migrated = hb.withColumn("band_pfx", band_pfx(index_buckets))
     (
         migrated.write.mode("overwrite")
         .partitionBy("ingest_batch", "band_pfx")
         .parquet(staging)
     )
-    # the modulus the migrated layout was built with must travel with it
-    with open(os.path.join(staging, "_INDEX_META.json"), "w") as f:
+    # the modulus the migrated layout was built with must travel with it —
+    # written atomically AFTER the parquet write, doubling as the
+    # staging-complete marker checked above
+    tmp = os.path.join(staging, "_INDEX_META.json.tmp")
+    with open(tmp, "w") as f:
         json.dump({"index_buckets": index_buckets}, f)
-    legacy = os.path.join(state_dir, "bands__legacy")
-    if os.path.isdir(legacy):
-        shutil.rmtree(legacy)
-    os.rename(bands, legacy)
+    os.replace(tmp, os.path.join(staging, "_INDEX_META.json"))
+    if os.path.isdir(legacy_dir):
+        shutil.rmtree(legacy_dir)
+    os.rename(bands, legacy_dir)
     os.rename(staging, bands)
-    shutil.rmtree(legacy)
+    shutil.rmtree(legacy_dir)
 
 
 def read_band_index(
@@ -436,9 +455,15 @@ def process_dedup_batch(
     from iscc_specs_spark.operators import lsh
 
     spark = batch_df.sparkSession
+    # migrate BEFORE recording the modulus: the old record-first ordering
+    # could re-create bands/ as a meta-only dir during a replayed crash
+    # window, making the migration's finish-swap branch unreachable (the
+    # fallback then rebuilt the whole index). The migration derives its
+    # own effective modulus; _effective afterwards picks up whichever
+    # meta (migrated or pre-existing) is now live.
+    _migrate_legacy_band_index(spark, state_dir, index_buckets)
     index_buckets = _effective_index_buckets(state_dir, index_buckets)
     _record_index_buckets(state_dir, index_buckets)
-    _migrate_legacy_band_index(spark, state_dir, index_buckets)
     batch = batch_df.localCheckpoint(eager=True)
 
     # within-batch pairs (standard path; url_a < url_b → flag url_b)
@@ -461,11 +486,19 @@ def process_dedup_batch(
         # match against its own prior (uncommitted) write
         hist = hist.where(F.col("ingest_batch") < F.lit(batch_id))
     if hist is not None and hist.head(1):
-        new_slim = lsh.rep_codes(batch)
+        # materialize both: new_slim is a groupBy shuffle consumed by the
+        # banding AND the verify join; nb feeds the prefix collect, the
+        # key semi-join and the broadcast probe — lazy, each reference
+        # would re-run the aggregation + banding (CLAUDE.md rule)
+        new_slim = lsh.rep_codes(batch).localCheckpoint(eager=True)
         hist_slim = hist.select(
             "url", "cid_body", "simhash", "minhash", "tophash"
         )
-        nb = lsh.minhash_bands(new_slim).union(lsh.simhash_bands(new_slim))
+        nb = (
+            lsh.minhash_bands(new_slim)
+            .union(lsh.simhash_bands(new_slim))
+            .localCheckpoint(eager=True)
+        )
         # the new batch's key prefixes: ≤ index_buckets ints, collected on
         # the driver and pushed down as a literal partition filter (static
         # pruning — the probe never lists non-matching band_pfx dirs)
@@ -613,13 +646,27 @@ def curate_state(spark: SparkSession, state_dir: str) -> DataFrame:
     from iscc_specs_spark.operators.cluster import assign_clusters
     from iscc_specs_spark.plans.dedup import canonical_pick
 
-    codes = spark.read.parquet(f"{state_dir}/codes")
+    codes = _read_history(spark, f"{state_dir}/codes")
+    if codes is None:
+        # no batch has landed data yet (missing dir, or an empty first
+        # micro-batch's _SUCCESS-only drop): schema-stable empty result,
+        # same hardening contract as read_dup_flags
+        return spark.createDataFrame(
+            [], "url string, cluster_id string, is_canonical boolean"
+        )
+    # a re-crawled url has one codes row per ingesting batch: collapse to
+    # one row per url BEFORE clustering — assign_clusters would otherwise
+    # emit N cluster rows and canonical_pick's members join would square
+    # them (N² identical output rows for a url crawled N times). min()
+    # skips NULL warc_ts identically in Spark and DuckDB, so the earliest
+    # NON-NULL crawl timestamp represents the url in the canonical pick.
+    urls = codes.groupBy("url").agg(F.min("warc_ts").alias("warc_ts"))
     flags = read_dup_flags(spark, state_dir)
     edges = flags.select(
         F.col("url").alias("url_a"), F.col("dup_of").alias("url_b")
     )
-    clusters = assign_clusters(codes.select("url"), edges)
-    return canonical_pick(codes.select("url", "warc_ts"), clusters)
+    clusters = assign_clusters(urls.select("url"), edges)
+    return canonical_pick(urls, clusters)
 
 
 # ---------------------------------------------------------------------------
@@ -746,11 +793,20 @@ def process_url_batch(
             .agg(F.min(F.struct("ingest_batch", "last_ts", "url")).alias("m"))
             .select("canon_url", F.col("m.url").alias("dup_of"))
         )
-        recrawl = keeper.join(first, "canon_url").select(
-            "url",
-            "dup_of",
-            "canon_url",
-            F.lit("vs_history").alias("src"),
+        recrawl = (
+            keeper.join(first, "canon_url")
+            # a re-crawl under the IDENTICAL spelling would flag itself
+            # (url == dup_of): drop it — the page is not a dup of a
+            # different spelling, and a self-loop flag would make the
+            # documented pre-filter composition remove the url entirely
+            # (same guard as the content stream's re-crawled-url case)
+            .where(F.col("url") != F.col("dup_of"))
+            .select(
+                "url",
+                "dup_of",
+                "canon_url",
+                F.lit("vs_history").alias("src"),
+            )
         )
         flags = intra.unionByName(recrawl)
 
@@ -789,11 +845,4 @@ def start_url_dedup_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         process_url_batch(batch_df, batch_id, state_dir, url_buckets)
 
-    writer = (
-        pages_stream.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
-    )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_stream(pages_stream, sink, checkpoint_dir, trigger_once)

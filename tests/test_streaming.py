@@ -594,3 +594,70 @@ def test_legacy_band_index_migrates_on_first_contact(spark, tmp_path):
     # plants near-dup variants across the url space)
     flags = spark.read.parquet(state + "/dup_flags")
     assert flags.where("src = 'vs_history'").count() > 0
+
+
+def test_curate_state_one_row_per_recrawled_url(spark, tmp_path):
+    """A url ingested by more than one batch (a re-crawl) has one codes row
+    per batch — curation must still emit exactly ONE (url, cluster,
+    canonical) row, not N (or N² through the members join)."""
+    from iscc_specs_spark.streaming.ingest import (
+        curate_state,
+        process_dedup_batch,
+    )
+
+    state = str(tmp_path / "state_recrawl")
+    pages = generate_pages(spark, 20, partitions=2)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    process_dedup_batch(codes, 0, state)
+    process_dedup_batch(codes, 1, state)  # every url re-crawled
+
+    got = curate_state(spark, state).collect()
+    urls = [r["url"] for r in got]
+    assert len(urls) == len(set(urls)) == 20, "one output row per url"
+
+
+def test_curate_state_empty_state_is_schema_stable(spark, tmp_path):
+    from iscc_specs_spark.streaming.ingest import curate_state
+
+    out = curate_state(spark, str(tmp_path / "never_written"))
+    assert out.columns == ["url", "cluster_id", "is_canonical"]
+    assert out.count() == 0
+
+
+def test_interrupted_migration_swap_finishes_without_rebuild(spark, tmp_path):
+    """Crash window: the staged (complete, meta-marked) copy exists while
+    bands/ was re-created as a meta-only dir by a replay. The migration
+    must FINISH the swap (cheap rename), not delete both copies and leave
+    the backfill path to rebuild the index from scratch; an incomplete
+    staging (no meta marker) must be discarded, never renamed in."""
+    import shutil
+
+    from iscc_specs_spark.streaming.ingest import (
+        _migrate_legacy_band_index,
+        process_dedup_batch,
+    )
+
+    state = str(tmp_path / "state_swap")
+    pages = generate_pages(spark, 30, partitions=2)
+    codes = compute_codes(pages, ("text", "data")).localCheckpoint(eager=True)
+    process_dedup_batch(codes, 0, state)
+    n_rows = spark.read.parquet(state + "/bands").count()
+
+    # simulate: swap built and meta-marked, bands re-created meta-only
+    os.rename(state + "/bands", state + "/bands__migrating")
+    os.makedirs(state + "/bands")
+    shutil.copy(
+        state + "/bands__migrating/_INDEX_META.json",
+        state + "/bands/_INDEX_META.json",
+    )
+    _migrate_legacy_band_index(spark, state, 16)
+    assert not os.path.exists(state + "/bands__migrating")
+    assert spark.read.parquet(state + "/bands").count() == n_rows
+
+    # incomplete staging (no meta marker): discarded, bands untouched
+    os.makedirs(state + "/bands__migrating")
+    with open(state + "/bands__migrating/part-incomplete.parquet", "wb"):
+        pass
+    _migrate_legacy_band_index(spark, state, 16)
+    assert not os.path.exists(state + "/bands__migrating")
+    assert spark.read.parquet(state + "/bands").count() == n_rows

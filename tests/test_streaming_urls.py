@@ -168,3 +168,27 @@ def test_url_stream_end_to_end(spark, tmp_path):
     assert f["url"] == "https://www.a.example/p?utm_source=x"
     assert f["dup_of"] == "https://a.example/p"
     assert f["src"] == "vs_history"
+
+
+def test_identical_spelling_recrawl_no_self_flag(spark, tmp_path):
+    """A later batch re-crawling the EXACT same url spelling must not flag
+    the url against itself (url == dup_of): the documented pre-filter
+    composition would otherwise drop the page from both sides and lose it
+    entirely."""
+    state = str(tmp_path / "state_selfflag")
+    I.process_url_batch(
+        _pages(spark, [("https://ex.com/a", _ts(0))]), 0, state
+    )
+    I.process_url_batch(
+        _pages(spark, [("https://ex.com/a", _ts(60))]), 1, state
+    )
+    flags = I.read_url_flags(spark, state).collect()
+    assert all(r["url"] != r["dup_of"] for r in flags), flags
+    # a genuinely different spelling of the same canonical url IS flagged
+    I.process_url_batch(
+        _pages(spark, [("https://ex.com/a#frag", _ts(120))]), 2, state
+    )
+    flags = I.read_url_flags(spark, state).collect()
+    assert [(r["url"], r["dup_of"]) for r in flags if r["src"] == "vs_history"] == [
+        ("https://ex.com/a#frag", "https://ex.com/a")
+    ]
