@@ -47,11 +47,26 @@ the round count is 7 — independent of corpus size.
 
 from __future__ import annotations
 
+import gc
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_MIN_LEN = 64     # report exact matches at least this long
 DEFAULT_CLASS_CAP = 64   # drop rank classes larger than this (boilerplate)
+
+# Bounded prefixes rank DIRECTLY: one global dense rank on
+# substring(text, pos, max_prefix) is definitionally the same rank the
+# doubling recurrence converges to (the DuckDB twin IS that one-window
+# formulation), so for max_prefix <= this cap the operator runs ZERO
+# doubling rounds. Wall time is ROUND-dominated (each round = a
+# checkpointed global range sort + a self-join + a collect; CLAUDE.md),
+# and the byte math favors direct ranking too: one range sort of a
+# <=128 B key beats three extra rounds that each range-sort an (r1, r2)
+# 16 B key AND self-join the full suffix table. Beyond the cap (or for
+# max_prefix=None, full-suffix order) the shuffle width of a raw-text key
+# would grow unboundedly — prefix doubling stays the scale path there.
+DIRECT_RANK_MAX = 128
 
 
 def _global_dense_rank(
@@ -127,11 +142,14 @@ def suffix_ranks(
         max_prefix = int(row["m"] or 1)
     max_prefix = max(int(max_prefix), 1)
 
-    # base rank covers the first min(8, max_prefix) characters in ONE
-    # global rank (an 8-char string key costs the same range sort as a
-    # 1-char one and removes three doubling rounds — each round is a
-    # checkpointed global rank, so round count dominates wall time)
-    base_w = min(8, max_prefix)
+    # base rank covers the first min(DIRECT_RANK_MAX, max_prefix)
+    # characters in ONE global rank: a bounded-width string key costs the
+    # same range sort as a 1-char one, and when it covers max_prefix
+    # entirely the doubling loop below never runs (round count dominates
+    # wall time — see DIRECT_RANK_MAX note above). For longer / unbounded
+    # prefixes the base still removes ⌈log₂ 128⌉ = 7 rounds before the
+    # fixed-width doubling recurrence takes over.
+    base_w = min(DIRECT_RANK_MAX, max_prefix)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -160,11 +178,19 @@ def suffix_ranks(
             .withColumn("_r2", F.coalesce("_r2", F.lit(-1)))
             .withColumnRenamed("rank", "_r1")
         )
+        prev = sa
         sa, n_rows, n_distinct = _global_dense_rank(joined, ["_r1", "_r2"])
         covered += step
         # all-distinct ⇒ further rounds are no-ops (extending a prefix
         # cannot reorder already-distinct suffixes) — checked from the
-        # counts the rank pass already collected, zero extra actions
+        # counts the rank pass already collected, zero extra actions.
+        # Drop the previous round's references promptly (py4j refs pin the
+        # JVM-side RDDs; once Python lets go, ContextCleaner can release
+        # the superseded localCheckpoint blocks instead of accumulating
+        # ~two checkpointed suffix-table copies per live round — r06
+        # advice) — the new `sa` is already materialized at this point.
+        del prev, joined, partner
+        gc.collect()
     return sa.select("doc_id", "pos", "rank")
 
 
