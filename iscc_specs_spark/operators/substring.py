@@ -60,25 +60,33 @@ def anchor_table(
     positions = F.when(
         n >= k, F.sequence(F.lit(1), n - k + 1)
     ).otherwise(F.array().cast("array<int>"))
+    # explode positions FIRST, then hash + filter as ordinary projections:
+    # the former transform/filter higher-order formulation evaluated its
+    # lambda (substring + hash) interpreted per window position — the
+    # documented 10× HOF trap (CLAUDE.md) at ~n positions per document.
+    # explode → substr → hash → filter pipelines inside one
+    # whole-stage-codegen span with no shuffle; row set is identical.
+    window = F.col("_t").substr(F.col("pos"), F.lit(k))
     if anchor == "xxh64":
-        hash_of = lambda p: F.xxhash64(F.substring(norm, p, k))
-        keep = lambda a: F.pmod(a["anchor_hash"], F.lit(sample)) == 0
+        hash_col = F.xxhash64(window)
+        keep = F.pmod(F.col("anchor_hash"), F.lit(sample)) == 0
     elif anchor == "md5":
         if 16 % sample:
             raise ValueError("md5 anchor sampling requires sample | 16")
         nibbles = [format(v, "x") for v in range(16) if v % sample == 0]
-        hash_of = lambda p: F.md5(F.substring(norm, p, k))
-        keep = lambda a: F.substring(a["anchor_hash"], 32, 1).isin(nibbles)
+        hash_col = F.md5(window)
+        keep = F.substring(F.col("anchor_hash"), 32, 1).isin(nibbles)
     else:
         raise ValueError(f"unknown anchor hash: {anchor}")
-    anchors = F.transform(
-        positions,
-        lambda p: F.struct(p.alias("pos"), hash_of(p).alias("anchor_hash")),
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            norm.alias("_t"),
+            F.explode(positions).alias("pos"),
+        )
+        .select("doc_id", "pos", hash_col.alias("anchor_hash"))
+        .where(keep)
     )
-    kept = F.filter(anchors, keep)
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(kept).alias("a")
-    ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.anchor_hash").alias("anchor_hash"))
 
 
 def substring_matches(
@@ -98,7 +106,14 @@ def substring_matches(
     match_len_lb is the *verified lower bound* on the shared-substring
     length (span between first and last co-linear shared anchors + k).
     """
-    anchors = anchor_table(docs, k, sample, id_col, text_col, anchor)
+    # materialize the anchor table once: the df-count aggregate and BOTH
+    # self-join sides consume it, and the lazy subtree re-ran the full
+    # anchor scan once per consumer (4 Generate nodes in the r07 before-
+    # plan; 8 in substring_cut's). Same multiply-consumed-subtree rule as
+    # lsh.dup_pairs' slim table; at warehouse scale this is a staged table.
+    anchors = anchor_table(
+        docs, k, sample, id_col, text_col, anchor
+    ).localCheckpoint(eager=True)
     # skew guard: drop anchors present in too many docs (boilerplate)
     df_counts = anchors.groupBy("anchor_hash").agg(
         F.count_distinct("doc_id").alias("df")
