@@ -50,6 +50,8 @@ def main():
         "overwrite"
     ).format("noop").save()
 
+    import gc
+
     out = {}
     for name in args:
         times = []
@@ -58,6 +60,10 @@ def main():
             t0 = time.perf_counter()
             qs[name]().write.mode("overwrite").format("noop").save()
             times.append(round(time.perf_counter() - t0, 3))
+            # release the rep's localCheckpoint blocks before the next one
+            # (same accumulation guard as bench.py's pipeline reps)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         out[name] = min(times)
         out[f"{name}__all"] = times
     print(json.dumps(out))

@@ -43,6 +43,21 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
         )
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # wide whole-stage-codegen methods (e.g. the unrolled 64-term dot
+        # products in operators/ann.py & dedup_variants.py) exceed
+        # HotSpot's 8000-bytecode DontCompileHugeMethods threshold and
+        # would otherwise run in the bytecode interpreter — measured 10×
+        # slower than JIT'd on the cosine paths. Scale-independent JVM
+        # tuning (standard recommendation for wide generated code); set on
+        # both roles so a real cluster's executors JIT the same methods.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:-DontCompileHugeMethods"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:-DontCompileHugeMethods"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
         .config("spark.ui.enabled", "false")
