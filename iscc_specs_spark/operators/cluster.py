@@ -44,14 +44,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return moved.union(self_edges).distinct()
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _converged(edges: DataFrame) -> bool:
+    """Fixpoint test: the star rounds are no-ops exactly when the edge set
+    is a directed star forest — every edge already points child → parent
+    (u > v, which every star-round output and the oriented input satisfy
+    by construction), every child has exactly ONE parent (edges are
+    distinct, so a child row per parent), and no node is both a child and
+    a parent. Checking this directly is one aggregation pass over the
+    checkpointed edges, versus the former stability fingerprint which
+    needed one EXTRA full star round (6 shuffles + a checkpoint) just to
+    observe "nothing changed". The multi-parent condition matters: a
+    state like {(c,a),(c,b)} has disjoint child/parent sets but is NOT
+    the fixpoint (small-star still rewrites it), so child-uniqueness must
+    be part of the test."""
+    endpoints = edges.select(
+        F.col("u").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
+    ).unionAll(
+        edges.select(F.col("v").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+    )
+    bad = (
+        endpoints.groupBy("n")
+        .agg(F.sum("c").alias("nc"), F.max("p").alias("np"))
+        .where(
+            (F.col("nc") > 1) | ((F.col("nc") >= 1) & (F.col("np") == 1))
+        )
+    )
+    return bad.isEmpty()
 
 
 def connected_components(
@@ -60,24 +78,26 @@ def connected_components(
     """pairs(url_a, url_b) → (url, cluster_id) for every node that appears in
     an edge; cluster_id = min url of the component.  Singleton handling is
     the caller's (left join + coalesce to own url)."""
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
-        F.col("u") != F.col("v")
-    ).distinct()
+    # orient child → parent up front (connectivity is orientation-blind and
+    # the fixpoint star forest is canonical, so the result is unchanged);
+    # this keeps the u > v invariant true from round 0 on, which is what
+    # lets _converged test the fixpoint with a single semi-join
+    edges = pairs.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
     # materialize the input edge list BEFORE iterating: each star round
     # references `edges` several times (unions + joins), and a lazy upstream
     # DAG would be re-executed once per reference inside round 0 (measured
     # 5× wall blow-up with a lazy LSH pair plan upstream)
     edges = edges.localCheckpoint(eager=True)
-    prev = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        fp = _fingerprint(edges)
-        if fp == prev:
+        if _converged(edges):
             break
-        prev = fp
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
-    # after convergence every edge is (node → component min)
+    # at the fixpoint every edge is (node → component min)
     return edges.select(F.col("u").alias("url"), F.col("v").alias("cluster_id"))
 
 

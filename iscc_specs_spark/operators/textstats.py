@@ -143,6 +143,8 @@ def fingerprints(
     equal-iff-same-content contract; same pattern as substring.py's
     md5-oracle / xxh64-production anchors).
     """
+    from pyspark.sql import Window
+
     if hash_fn == "md5":
         hf = F.md5
     elif hash_fn == "xxh64":
@@ -153,18 +155,40 @@ def fingerprints(
     norm = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), "\\s+", " "
     )
-    toks = _tokens()
-    n = F.size(toks)
     k = shingle_words
-    shingles = F.when(n >= k, F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select(
-        "doc_id",
-        hf(norm).alias("content_fp"),
-        F.array_min(F.transform(shingles, hf)).alias("min_shingle_fp"),
+    # min-shingle via the explode + per-doc window-lead pattern
+    # (repetition_stats / word_shingles): the former transform(shingles,
+    # hf) evaluated slice+concat_ws+hash interpreted per shingle — the
+    # documented HOF trap. Same shingle set: full k-grams where the k-th
+    # lead exists; the pos-0 row alone when the document has < k tokens
+    # (concat_ws skips NULL leads → the whole-text padded shingle,
+    # including "" for an empty document via posexplode_outer's NULL row).
+    # min(hash-string) under the aggregate is the same binary-string
+    # ordering array_min used, and partial aggregation keeps the one
+    # doc_id-keyed exchange narrow.
+    tok_rows = docs.select(
+        "doc_id", F.posexplode_outer(_tokens()).alias("pos", "t0")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = tok_rows.select(
+        "doc_id",
+        "pos",
+        "t0",
+        *[F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, k)],
+    )
+    gram = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(k)])
+    mins = (
+        leads.where(
+            F.col(f"t{k - 1}").isNotNull()
+            | (F.coalesce(F.col("pos"), F.lit(0)) == 0)
+        )
+        .select("doc_id", hf(gram).alias("_h"))
+        .groupBy("doc_id")
+        .agg(F.min("_h").alias("min_shingle_fp"))
+    )
+    return docs.select("doc_id", hf(norm).alias("content_fp")).join(
+        mins, "doc_id", "left"
+    ).select("doc_id", "content_fp", "min_shingle_fp")
 
 
 # Gopher repetition thresholds (Rae et al. 2021, "Scaling Language Models:
