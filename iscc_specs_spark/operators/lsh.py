@@ -256,14 +256,13 @@ def verified_bucket_pairs(
     cold_rows = band_rows.join(
         F.broadcast(hot_keys), ["band_id", "band_hash"], "left_anti"
     )
-    tagged = cold_rows.join(sizes, ["band_id", "band_hash"]).where(
-        F.col("bucket_n") >= 2
-    )
-
-    small = tagged.where(F.col("bucket_n") <= bucket_cap)
-    members = small.groupBy("band_id", "band_hash").agg(
+    # cold buckets are ≤ bucket_cap by construction (the anti-join removed
+    # every larger one), so the former join-back against `sizes` only ever
+    # supplied the ≥2 filter — size(ms) after the gather gives that for
+    # free, one join fewer in the chain
+    members = cold_rows.groupBy("band_id", "band_hash").agg(
         F.collect_list("m").alias("ms")
-    )
+    ).where(F.size("ms") >= 2)
     combos = F.expr(
         f"""
         flatten(transform(ms, (x, i) ->
@@ -438,7 +437,7 @@ def dup_pairs(
     bucket_cap: int = 64,
     cid_max: int = CID_T_MAX_HAMMING,
     sim_max: int = SIMHASH_MAX_HAMMING,
-    compute_jaccard: bool = True,
+    compute_jaccard: bool = False,
     materialize: bool = True,
     slim: DataFrame | None = None,
     band_rows: DataFrame | None = None,
@@ -447,9 +446,12 @@ def dup_pairs(
 
     Capped buckets verify inline during candidate generation
     (verified_bucket_pairs); only oversized-bucket hub edges take the
-    residual join-verify path; jaccard estimates attach to survivors only
-    (``compute_jaccard=False`` skips those two joins — the dup predicate
-    never uses jaccard, it is reporting metadata).
+    residual join-verify path; jaccard estimates attach to survivors only.
+    ``compute_jaccard`` defaults OFF (r07): the dup predicate never uses
+    jaccard — it is reporting metadata — and the two attach joins are pure
+    overhead for every caller that only consumes the pair set (clustering,
+    the driver rows, the pipeline bench). Pass True where the jaccard
+    column is actually persisted/read (plans/dedup.py's stage table).
 
     ``materialize=True`` checkpoints the slim representative table: it has
     ~6 downstream consumers (banding, sizes, verify sides, jaccard sides,

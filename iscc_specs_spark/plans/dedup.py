@@ -170,6 +170,9 @@ def run_dedup(
             lsh.dup_pairs(
                 codes, cfg.bands, cfg.rows, cfg.bucket_cap, cfg.cid_max,
                 cfg.sim_max, slim=slim, band_rows=band_rows,
+                # the at-rest stage table keeps its jaccard_est column
+                # (operator default flipped to False in r07)
+                compute_jaccard=True,
             ),
             "dup_pairs",
             metrics,
