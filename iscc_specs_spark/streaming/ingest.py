@@ -323,11 +323,21 @@ def _migrate_legacy_band_index(
     bands = os.path.join(state_dir, "bands")
     staging = os.path.join(state_dir, "bands__migrating")
     legacy_dir = os.path.join(state_dir, "bands__legacy")
-    # staging is COMPLETE iff its meta file exists: the meta is written
-    # (atomically) only after the parquet write finishes, so its presence
-    # marks a fully-built copy — an incomplete staging must never be
-    # renamed into place (a partial index would silently drop true matches)
-    staging_done = os.path.exists(os.path.join(staging, "_INDEX_META.json"))
+    # staging is COMPLETE iff its meta file exists AND parses: the meta is
+    # written (atomically, today) only after the parquet write finishes —
+    # but a pre-upgrade version wrote it non-atomically, so a crash could
+    # leave a truncated JSON which, once renamed into bands/, would make
+    # _effective_index_buckets raise on every later batch with no
+    # self-healing path. An unparsable/key-less meta therefore counts as
+    # an INCOMPLETE staging (rmtree + rebuild), never as done.
+    def _staging_meta_ok() -> bool:
+        try:
+            with open(os.path.join(staging, "_INDEX_META.json")) as f:
+                return isinstance(json.load(f).get("index_buckets"), int)
+        except (OSError, ValueError):
+            return False
+
+    staging_done = _staging_meta_ok()
     if not os.path.isdir(bands):
         if os.path.isdir(staging):
             if staging_done:

@@ -60,9 +60,12 @@ def test_top_customers_partial_topk(plans):
 
 def test_hot_ngrams_partial_topk(plans):
     """Corpus top-k must be a per-partition heap + driver merge, never a
-    global sort or an unpartitioned window."""
+    global sort or an unpartitioned window. (explain('formatted') prints
+    the physical node as 'Window', never 'WindowExec', so the bad shape is
+    gated by its real signature: a single-partition exchange feeding the
+    plan — r06 advice.)"""
     assert "TakeOrderedAndProject" in plans["hot_ngrams"]
-    assert "WindowExec" not in plans["hot_ngrams"]
+    assert "Exchange SinglePartition" not in plans["hot_ngrams"]
 
 
 def test_narrow_scans_are_pruned(plans):
