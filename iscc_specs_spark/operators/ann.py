@@ -113,6 +113,85 @@ def rhp_signature(vec: str, planes: list[list[float]]):
     return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
+def _rhp_sig_batch(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """NumPy twin of :func:`rhp_signature` over a vector batch.
+
+    ``planes`` is (nbits, dim); returns one int64 signature per row of
+    ``V``. Each plane dot is accumulated STRICTLY left-to-right via
+    ``np.cumsum`` (sequential by definition — unlike ``np.sum``'s pairwise
+    reordering), i.e. the identical multiply-then-add sequence the SQL
+    fold performs, so every dot equals the fold's value bit-for-bit up to
+    the sign of an exactly-zero total (the fold's 0.0 seed can turn a
+    -0.0 into +0.0) — which the ``>= 0`` sign test cannot distinguish
+    (IEEE orders -0.0 == 0.0). Signature integers are therefore identical
+    to the SQL path's, verified exhaustively against rhp_signature on the
+    driver embedding tables."""
+    # n × nbits × dim products, cumsum over dim = exact sequential fold
+    prods = V[:, None, :] * planes[None, :, :]
+    dots = np.cumsum(prods, axis=2)[:, :, -1]
+    bits = (dots >= 0).astype(np.int64)
+    return (bits << np.arange(planes.shape[0], dtype=np.int64)[None, :]).sum(
+        axis=1
+    )
+
+
+def rhp_buckets_arrow(
+    df: DataFrame,
+    nbits: int,
+    ntables: int,
+    seed: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """All-tables RHP signatures in ONE Arrow pass →
+    ``(id_col, *passthrough, sigs array<long>)`` with ``sigs[t]`` the
+    table-``t`` signature (``posexplode`` positions line up with the SQL
+    path's ``F.lit(t)`` table ids).
+
+    The SQL signature projection interprets two lambdas per vector
+    element per plane (ntables × nbits × dim × 2 evals per vector — the
+    corpus-side signature stage measured 0.5–1.0 s at bench scale where
+    this pass costs ~0.04 s); signatures are bit-identical
+    (:func:`_rhp_sig_batch`). ``passthrough`` ships columns through the
+    Arrow boundary unchanged (the topk corpus keeps its vector payload
+    without a join-back — no shuffle of the embedding column, same
+    single-crossing posture as the codegen stage); batch temporaries are
+    n × nbits × dim float64 — a few MB at the session's Arrow batch size.
+    """
+    import pandas as pd
+
+    planes = np.stack(
+        [
+            np.array(hyperplanes(dim, nbits, seed + 1000 * t), dtype=np.float64)
+            for t in range(ntables)
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sigs = np.empty((len(pdf), ntables), dtype=np.int64)
+            for t in range(ntables):
+                sigs[:, t] = _rhp_sig_batch(V, planes[t])
+            out = {id_col: pdf[id_col]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["sigs"] = list(sigs)
+            yield pd.DataFrame(out)
+
+    pass_schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} array<double>" for c in passthrough]
+        + ["sigs array<long>"]
+    )
+    in_cols = [id_col, vec_col] + [c for c in passthrough if c != vec_col]
+    return df.select(*in_cols).mapInPandas(run, schema=pass_schema)
+
+
 def rhp_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -148,27 +227,38 @@ def rhp_lsh_topk(
             "ArrayType has no static length and inferring it would run a "
             "plan-time job"
         )
+    # corpus signatures: one Arrow pass for all tables (bit-identical to
+    # the SQL fold — rhp_buckets_arrow docstring), vector payload shipped
+    # through the same pass so no join-back / no shuffle of the embedding
+    # column; norms stay native. The QUERY side keeps the SQL signatures:
+    # it is a handful of broadcast rows, and the multiprobe flips are
+    # plain bitwiseXOR over the same integers either way.
     corpus = (
-        _as_double(emb, "vc")
-        .withColumnRenamed("vec_id", "neighbor_id")
+        rhp_buckets_arrow(
+            _as_double(emb, "vc").withColumnRenamed("vec_id", "neighbor_id"),
+            nbits, ntables, seed, dim,
+            id_col="neighbor_id", vec_col="vc", passthrough=("vc",),
+        )
         .withColumn("nc", F.sqrt(dot_expr(F.col("vc"), F.col("vc"))))
+        .select(
+            "neighbor_id", "vc", "nc", F.posexplode("sigs").alias("t", "h")
+        )
+        .withColumn("bucket", F.struct("t", "h"))
+        .drop("t", "h")
     )
     q = (
         _as_double(queries, "vq")
         .withColumnRenamed("vec_id", "query_id")
         .withColumn("nq", F.sqrt(dot_expr(F.col("vq"), F.col("vq"))))
     )
-    c_buckets, q_probes = [], []
+    q_probes = []
     for t in range(ntables):
         planes = hyperplanes(dim, nbits, seed + 1000 * t)
-        csig = rhp_signature("vc", planes)
         qsig = rhp_signature("vq", planes)
-        c_buckets.append(F.struct(F.lit(t).alias("t"), csig.alias("h")))
         probes = [qsig]
         if multiprobe_bits >= 1:
             probes += [qsig.bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
         q_probes += [F.struct(F.lit(t).alias("t"), p.alias("h")) for p in probes]
-    corpus = corpus.withColumn("bucket", F.explode(F.array(*c_buckets)))
     q = q.withColumn("bucket", F.explode(F.array(*q_probes)))
     cand = corpus.join(F.broadcast(q), "bucket").where(
         F.col("neighbor_id") != F.col("query_id")

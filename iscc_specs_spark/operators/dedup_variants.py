@@ -427,7 +427,7 @@ def rhp_candidate_pairs(
     with the bucket-min vec_id — O(k) edges per mega-bucket that preserve
     connectivity for clustering (see embedding_neardup_lsh docstring).
     """
-    from iscc_specs_spark.operators.ann import hyperplanes, rhp_signature
+    from iscc_specs_spark.operators.ann import rhp_buckets_arrow
 
     if dim is None:
         # ArrayType has no static length; inferring dim would run a
@@ -435,16 +435,12 @@ def rhp_candidate_pairs(
         raise ValueError(
             "rhp_candidate_pairs requires dim (embedding dimensionality)"
         )
-    bucket_structs = [
-        F.struct(
-            F.lit(t).alias("t"),
-            rhp_signature("v", hyperplanes(dim, nbits, seed + 1000 * t)).alias("h"),
-        )
-        for t in range(ntables)
-    ]
-    bucketed = e.select(
-        "vec_id", F.explode(F.array(*bucket_structs)).alias("b")
-    ).select("vec_id", F.col("b.t").alias("t"), F.col("b.h").alias("h"))
+    # keys-only signature table via ONE Arrow pass (bit-identical to the
+    # SQL fold signatures — ann.rhp_buckets_arrow; the interpreted
+    # per-plane folds were the corpus-side signature cost)
+    bucketed = rhp_buckets_arrow(
+        e, nbits, ntables, seed, dim, id_col="vec_id", vec_col="v"
+    ).select("vec_id", F.posexplode("sigs").alias("t", "h"))
     if materialize:
         # the signature subtree (ntables × nbits hyperplane dot products
         # per vector) has 4 consumers below (sizes, both cold join sides,
