@@ -167,7 +167,7 @@ def test_no_python_stages_outside_codegen_and_sources(plans):
     stage; pure-SQL operators must contain none."""
     pure_sql = [
         "exact_dedup", "ngram_jaccard", "embedding_neardup",
-        "embedding_neardup_lsh", "ann_topk", "ann_lsh_topk", "token_counts",
+        "ann_topk", "token_counts",
         "quality_scores", "repetition_stats", "line_dedup", "pii_scrub",
         "language_id", "fingerprints", "q1_pricing",
         "top_customers", "events_by_type", "user_last_event",
@@ -176,5 +176,19 @@ def test_no_python_stages_outside_codegen_and_sources(plans):
     for name in pure_sql:
         assert not re.search(
             r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
+            plans[name],
+        ), name
+    # RHP-bucketed queries carry AT MOST ONE Arrow stage since r07: the
+    # all-tables signature pass (ann.rhp_buckets_arrow — NumPy-vectorized,
+    # bit-identical to the SQL fold signatures). embedding_neardup_lsh's
+    # candidate generator materializes the bucketed table, so its final
+    # plan shows zero; ann_lsh_topk's shows the one pass inline. More than
+    # one — or any row-at-a-time Python form — is a regression.
+    for name in ("embedding_neardup_lsh", "ann_lsh_topk"):
+        # count physical nodes via the detail headers — formatted explain
+        # prints every node twice (tree line + "(n) MapInPandas" detail)
+        assert len(re.findall(r"\(\d+\) MapInPandas", plans[name])) <= 1, name
+        assert not re.search(
+            r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas",
             plans[name],
         ), name
