@@ -70,7 +70,7 @@ DIRECT_RANK_MAX = 128
 
 
 def _global_dense_rank(
-    df: DataFrame, key_cols: list[str]
+    df: DataFrame, key_cols: list[str], checkpoint_result: bool = True
 ) -> tuple[DataFrame, int, int]:
     """Replace ``key_cols`` with one global dense ``rank`` column (1-based,
     ascending in key order), keeping all other columns. Returns
@@ -114,8 +114,14 @@ def _global_dense_rank(
         .join(F.broadcast(off_df), "_pid")
         .withColumn("rank", (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off", *key_cols)
-        .localCheckpoint(eager=True)
     )
+    if checkpoint_result:
+        # inside the doubling loop both branches of the next round's
+        # self-join re-read the ranked table, and the pid-window sort is
+        # the round's dominant cost — a lazy tail would re-run it per
+        # reference. A caller that consumes the result exactly once (the
+        # direct bounded-prefix path) skips the materialization.
+        ranked = ranked.localCheckpoint(eager=True)
     return ranked, n_rows, off
 
 
@@ -163,7 +169,13 @@ def suffix_ranks(
         "pos",
         F.substring(F.col("_t"), F.col("pos"), base_w).alias("_c"),
     )
-    sa, n_rows, n_distinct = _global_dense_rank(base, ["_c"])
+    # when the base covers the whole bounded prefix the doubling loop below
+    # cannot run and the caller consumes the ranks exactly once — skip the
+    # result checkpoint (the docstring's ranked-reused-twice rationale only
+    # applies inside the loop)
+    sa, n_rows, n_distinct = _global_dense_rank(
+        base, ["_c"], checkpoint_result=base_w < max_prefix
+    )
 
     covered = base_w
     while covered < max_prefix and n_distinct < n_rows:
