@@ -91,10 +91,15 @@ def connected_components(
     # DAG would be re-executed once per reference inside round 0 (measured
     # 5× wall blow-up with a lazy LSH pair plan upstream)
     edges = edges.localCheckpoint(eager=True)
+    # check AFTER each round, not before round 1: the initial edge set is
+    # the largest the loop ever sees (rounds only shrink it toward the
+    # star forest), so a pre-round check would pay its endpoint shuffle on
+    # the biggest input every call just to detect the rare
+    # already-converged case — for which one no-op round is cheap anyway
     for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         if _converged(edges):
             break
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # at the fixpoint every edge is (node → component min)
